@@ -1,0 +1,97 @@
+"""CLI entry point — `python src/vtgaussian_slam.py configs/<scene>.py`.
+
+Drop-in compatible with the reference invocation
+(/root/reference/src/vtgaussian_slam.py:2897-2919 and README.md:109-135):
+loads a Python scene-config module via SourceFileLoader, seeds, creates the
+results directory, copies the config, runs SLAM (or eval_mode re-scoring of a
+saved params_ls.npy), saves params_ls.npy + eval metrics.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+from importlib.machinery import SourceFileLoader
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment", type=str, help="Path to experiment file")
+    args = parser.parse_args()
+
+    experiment = SourceFileLoader(
+        os.path.basename(args.experiment), args.experiment
+    ).load_module()
+    config = experiment.config
+
+    from vtgaussian_slam_tpu.utils.common import seed_everything
+    from vtgaussian_slam_tpu.utils.runtime import setup_jax
+    seed_everything(seed=config["seed"])
+    setup_jax()
+
+    results_dir = os.path.join(config["workdir"], config["run_name"])
+    if not config.get("load_checkpoint", False):
+        os.makedirs(results_dir, exist_ok=True)
+        shutil.copy(args.experiment, os.path.join(results_dir, "config.py"))
+
+    from vtgaussian_slam_tpu.core.config import prepare_config
+    from vtgaussian_slam_tpu.eval.evaluate import eval_sequence
+
+    config = prepare_config(config)
+    eval_dir = os.path.join(results_dir, "eval")
+    os.makedirs(eval_dir, exist_ok=True)
+
+    if config["eval_mode"]:
+        from vtgaussian_slam_tpu.core.pipeline import build_dataset
+
+        dataset = build_dataset(config)
+        num_frames = config["data"].get("num_frames", -1)
+        if num_frames == -1:
+            num_frames = len(dataset)
+        params_ls = np.load(os.path.join(results_dir, "params_ls.npy"),
+                            allow_pickle=True)
+        eval_sequence(
+            dataset, list(params_ls), num_frames, eval_dir,
+            sil_thres=config["mapping"]["sil_thres"],
+            mapping_iters=config["mapping"]["num_iters"],
+            add_new_gaussians=config["mapping"]["add_new_gaussians"],
+            eval_every=config["eval_every"],
+            baseframe_every=config["baseframe_every"],
+            save_frames=True,
+        )
+        return
+
+    from vtgaussian_slam_tpu.core.pipeline import rgbd_slam
+
+    engine = rgbd_slam(config)
+
+    stats = engine.final_stats()
+    print(f"\nAverage Tracking/Iteration Time: {stats['avg_tracking_iter_ms']} ms")
+    print(f"Average Tracking/Frame Time: {stats['avg_tracking_frame_s']} s")
+    print(f"Average Mapping/Iteration Time: {stats['avg_mapping_iter_ms']} ms")
+    print(f"Average Mapping/Frame Time: {stats['avg_mapping_frame_s']} s")
+    print("Number of Gaussians:", stats["num_gaussians"])
+
+    params_ls = engine.export_params_ls()
+    np.save(os.path.join(results_dir, "params_ls.npy"),
+            np.array(params_ls, dtype=object), allow_pickle=True)
+
+    eval_sequence(
+        engine.dataset, params_ls, engine.num_frames, eval_dir,
+        sil_thres=config["mapping"]["sil_thres"],
+        mapping_iters=config["mapping"]["num_iters"],
+        add_new_gaussians=config["mapping"]["add_new_gaussians"],
+        eval_every=config["eval_every"],
+        baseframe_every=config["baseframe_every"],
+        save_frames=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

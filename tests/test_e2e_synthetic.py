@@ -1,0 +1,138 @@
+"""End-to-end SLAM on a procedural synthetic scene (golden-value tests).
+
+The reference has no tests (SURVEY.md section 4); these integration tests are
+the replacement: known camera motion on an analytically-rendered room, so
+tracking error and render quality have ground truth.
+"""
+import numpy as np
+import pytest
+
+from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
+from vtgaussian_slam_tpu.eval.evaluate import eval_sequence
+from vtgaussian_slam_tpu.eval.metrics import evaluate_ate
+
+
+def make_config(num_frames=11, baseframe_every=5, use_gt_poses=False,
+                track_iters=40, map_iters=40, motion_scale=0.25):
+    return dict(
+        workdir="/tmp/vtgs_test", run_name="synthetic", seed=3,
+        baseframe_every=baseframe_every,
+        map_every=1, keyframe_every=1, mapping_window_size=3,
+        scene_radius_depth_ratio=3, mean_sq_dist_method="projective",
+        gaussian_distribution="isotropic",
+        report_global_progress_every=1000,
+        eval_mode=False, eval_every=1, use_wandb=False,
+        data=dict(
+            dataset_name="synthetic",
+            synthetic=dict(num_frames=num_frames, height=48, width=64,
+                           seed=1, motion_scale=motion_scale),
+            desired_image_height=48, desired_image_width=64,
+            start=0, end=-1, stride=1, num_frames=-1,
+        ),
+        tracking=dict(
+            use_gt_poses=use_gt_poses, forward_prop=True,
+            num_iters=track_iters, use_sil_for_loss=True, sil_thres=0.95,
+            use_l1=True, ignore_outlier_depth_loss=False,
+            # reference replica hyperparameters (configs/replica/room0.py:74-86)
+            loss_weights=dict(im=0.5, depth=0.025),
+            lrs=dict(means3D=0.0, rgb_colors=0.0, unnorm_rotations=0.0,
+                     logit_opacities=0.0, log_scales=0.0,
+                     cam_unnorm_rots=0.0004, cam_trans=0.002),
+        ),
+        mapping=dict(
+            num_iters=map_iters, add_new_gaussians=True, sil_thres=0.5,
+            use_l1=True, use_sil_for_loss=False,
+            ignore_outlier_depth_loss=False,
+            loss_weights=dict(im=1.0, depth=1.0),
+            lrs=dict(means3D=0.0, rgb_colors=0.0025, unnorm_rotations=0.0,
+                     logit_opacities=0.05, log_scales=0.005,
+                     cam_unnorm_rots=1e-8, cam_trans=1e-7),
+            fixed_lrs=dict(means3D=0, rgb_colors=0, unnorm_rotations=0,
+                           logit_opacities=0, log_scales=0,
+                           cam_unnorm_rots=0.0, cam_trans=0.0),
+        ),
+        tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=256,
+                 blend_chunk=64, baseframe_capacity_quantum=8),
+    )
+
+
+@pytest.fixture(scope="module")
+def gt_pose_run():
+    cfg = make_config(use_gt_poses=True, map_iters=150)
+    engine = VTGaussianSLAM(cfg)
+    engine.run(progress=False)
+    return engine
+
+
+@pytest.fixture(scope="module")
+def tracked_run():
+    cfg = make_config(use_gt_poses=False, track_iters=40, map_iters=60,
+                      motion_scale=0.1)
+    engine = VTGaussianSLAM(cfg)
+    engine.run(progress=False)
+    return engine
+
+
+class TestGtPoseMapping:
+    def test_sections_created(self, gt_pose_run):
+        # 11 frames, baseframe_every=5 -> sections at t=0, 5, 10
+        assert len(gt_pose_run.sections) == 3
+
+    def test_gaussian_counts_positive(self, gt_pose_run):
+        for sec in gt_pose_run.sections:
+            assert int(sec.n_active) > 100
+            assert int(sec.n_active) <= sec.capacity
+
+    def test_mapped_scene_renders_well(self, gt_pose_run, tmp_path):
+        params_ls = gt_pose_run.export_params_ls()
+        res = eval_sequence(gt_pose_run.dataset, params_ls,
+                            gt_pose_run.num_frames, str(tmp_path),
+                            eval_every=1, baseframe_every=5)
+        # mapped with ground-truth poses: renders must be converging toward gt.
+        # Budgets here are tiny (60 iters at 48x64); full-scale runs use
+        # 60-100 iters at 680x1200 and score far higher — this guards the
+        # mechanism, benchmark configs guard the quality.
+        assert res["psnr"] > 17.0, res
+        assert res["depth_l1"] < 0.45, res
+        assert res["ate_rmse"] < 1e-4, res
+        assert np.isfinite(res["ms_ssim"]), res
+
+    def test_params_ls_format_roundtrip(self, gt_pose_run, tmp_path):
+        params_ls = gt_pose_run.export_params_ls()
+        path = tmp_path / "params_ls.npy"
+        np.save(path, np.array(params_ls, dtype=object), allow_pickle=True)
+        loaded = np.load(path, allow_pickle=True)
+        assert len(loaded) == 3
+        p = loaded[0]
+        for k in ("means3D", "rgb_colors", "unnorm_rotations",
+                  "logit_opacities", "log_scales", "cam_unnorm_rots",
+                  "cam_trans"):
+            assert k in p
+        assert p["cam_unnorm_rots"].shape == (1, 4, 11)
+        assert p["means3D"].shape[1] == 3
+
+
+class TestTrackedRun:
+    def test_trajectory_error_bounded(self, tracked_run):
+        import jax.numpy as jnp
+        from vtgaussian_slam_tpu.ops import geometry as geo
+
+        est, gt = [], []
+        for t in range(tracked_run.num_frames):
+            est.append(np.linalg.inv(np.asarray(
+                geo.pose_to_w2c(geo.normalize(tracked_run.traj.quats[t]),
+                                tracked_run.traj.trans[t]))))
+            gt.append(np.linalg.inv(tracked_run.gt_w2c[t]))
+        ate = evaluate_ate(gt, est)
+        # synthetic room spans ~6m; tracked ATE must be far under motion scale
+        assert ate < 0.05, ate
+
+    def test_densification_grew_sections(self, tracked_run):
+        # later frames should have added non-presence Gaussians
+        assert any(n > 0 for n in tracked_run.num_gs_per_frame_ls[3:])
+
+    def test_stats_populated(self, tracked_run):
+        s = tracked_run.final_stats()
+        assert s["avg_tracking_frame_s"] > 0
+        assert s["avg_mapping_frame_s"] > 0
+        assert s["num_gaussians"] > 0

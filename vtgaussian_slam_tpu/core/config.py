@@ -1,0 +1,75 @@
+"""Config schema handling.
+
+The public config format is identical to the reference's: a Python module
+exporting a nested `config` dict (loaded via SourceFileLoader by the CLI,
+/root/reference/src/vtgaussian_slam.py:2904-2906), plus camera YAMLs with
+`inherit_from`. This module backfills the same runtime defaults the reference
+patches in `rgbd_slam` (:1201-1254, :1454-1455, :1769-1779) so scene configs
+stay drop-in compatible.
+"""
+from __future__ import annotations
+
+import copy
+
+
+def prepare_config(config: dict) -> dict:
+    config = copy.deepcopy(config)
+    tr = config.setdefault("tracking", {})
+    tr.setdefault("use_depth_loss_thres", False)
+    tr.setdefault("depth_loss_thres", 100000)
+    tr.setdefault("visualize_tracking_loss", False)
+    tr.setdefault("base1_num_iters", None)
+    tr.setdefault("sil_thres_base", None)
+    tr.setdefault("forward_prop", True)
+    tr.setdefault("frustum", True)
+    tr.setdefault("p2p_method", "sum")
+    tr.setdefault("onlybase_overlap", True)
+    tr.setdefault("edge", 20)
+    tr.setdefault("keyframe_thresh", 0.5)
+    tr.setdefault("kf_depth_thresh", 0.01)
+    tr.setdefault("earliest_thres", 0.5)
+    tr.setdefault("lower_earliest_thres_percent", 0.8)
+    tr.setdefault("topk_base", 3)
+    tr.setdefault("vis_mask_thres", 0.05)
+    tr.setdefault("use_gt_poses", False)
+
+    config.setdefault("gaussian_distribution", "isotropic")
+    config.setdefault("use_wandb", False)
+    config.setdefault("eval_mode", False)
+    config.setdefault("eval_every", 1000)
+    config.setdefault("load_checkpoint", False)
+    config.setdefault("map_every", 1)
+    config.setdefault("keyframe_every", 1)
+    config.setdefault("mapping_window_size", 3)
+    config.setdefault("report_global_progress_every", 1)
+    config.setdefault("report_iter_progress", False)
+    config.setdefault("overlap_every", config.get("baseframe_every", 40))
+    config.setdefault("far_depth_factor", 2.0)
+    config.setdefault("seed", 0)
+
+    data = config.setdefault("data", {})
+    data.setdefault("ignore_bad", False)
+    data.setdefault("use_train_split", True)
+    if "densification_image_height" not in data:
+        data["densification_image_height"] = data.get("desired_image_height")
+        data["densification_image_width"] = data.get("desired_image_width")
+
+    mp = config.setdefault("mapping", {})
+    mp.setdefault("fixed_lrs", {k: 0.0 for k in (
+        "means3D", "rgb_colors", "unnorm_rotations", "logit_opacities",
+        "log_scales", "cam_unnorm_rots", "cam_trans")})
+
+    # TPU-build specific knobs (absent from reference configs; safe defaults)
+    tpu = config.setdefault("tpu", {})
+    tpu.setdefault("capacity_quantum", 1 << 15)
+    tpu.setdefault("span_cap", 3)
+    tpu.setdefault("max_pairs_per_tile", 1024)
+    tpu.setdefault("blend_chunk", 128)
+    tpu.setdefault("baseframe_capacity_quantum", 64)
+    return config
+
+
+def separate_densification_res(config: dict) -> bool:
+    d = config["data"]
+    return (d["densification_image_height"] != d["desired_image_height"]
+            or d["densification_image_width"] != d["desired_image_width"])

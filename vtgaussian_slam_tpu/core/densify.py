@@ -1,0 +1,119 @@
+"""Silhouette-driven densification (new-Gaussian insertion).
+
+TPU redesign of `add_new_gaussians_base_frame`
+(/root/reference/src/vtgaussian_slam.py:732-813). The reference concatenates
+dynamically-sized point clouds per frame; here candidate Gaussians are
+produced at static shape (one candidate per pixel of the base-res frame and
+one per pixel of the hi-res densify stream, each with a boolean keep mask)
+and scatter-appended into the section's padded tail. Only the kept COUNT
+crosses to the host (to trigger capacity re-bucketing), not the data.
+
+Semantics:
+  non_presence = (silhouette < sil_thres)
+               | ((render_depth > gt) & (depth_err > 50 * median(depth_err)))
+  base stream keeps non_presence & valid-depth pixels (:749-768);
+  densify stream keeps (resized non_presence) & valid & Canny edge mask
+  (:775-794). Back-projection uses the x1.005 depth factor (:93) and the
+  projective mean-square-distance scale init (:106-110).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import GaussianParams
+from ..ops import geometry as geo
+from ..ops.camera import Camera
+from .losses import Frame, render_slam
+
+
+class DensifyCandidates(NamedTuple):
+    points: jnp.ndarray   # (M, 3) world
+    colors: jnp.ndarray   # (M, 3)
+    mean3_sq_dist: jnp.ndarray  # (M,)
+    keep: jnp.ndarray     # (M,) bool
+    non_presence: jnp.ndarray  # (H, W) bool — for resizing to densify stream
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "backend_kwargs"))
+def densify_candidates_base(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    frame: Frame,
+    cam: Camera,
+    sil_thres: float,
+    backend_kwargs: tuple = (),
+) -> DensifyCandidates:
+    r = render_slam(jax.lax.stop_gradient(params), active,
+                    jax.lax.stop_gradient(cam_quat),
+                    jax.lax.stop_gradient(cam_trans), cam,
+                    dict(backend_kwargs))
+    gt_depth = frame.depth[0]
+    render_depth = r.depth[0]
+    depth_err = jnp.abs(gt_depth - render_depth) * (gt_depth > 0)
+    non_presence = (r.silhouette < sil_thres) | (
+        (render_depth > gt_depth) & (depth_err > 50 * jnp.median(depth_err)))
+    keep = (non_presence & (gt_depth > 0)).reshape(-1)
+
+    K = jnp.asarray(cam.intrinsics)
+    w2c = geo.pose_to_w2c(geo.normalize(cam_quat), cam_trans)
+    pts = geo.backproject(gt_depth, K, c2w=geo.invert_se3(w2c))
+    msq = geo.mean_sq_dist_projective(gt_depth.reshape(-1), K[0, 0], K[1, 1])
+    colors = frame.color.reshape(3, -1).T
+    return DensifyCandidates(points=pts, colors=colors, mean3_sq_dist=msq,
+                             keep=keep, non_presence=non_presence)
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def densify_candidates_stream(
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    frame: Frame,          # densify-resolution frame
+    cam: Camera,           # densify-resolution intrinsics
+    keep_mask: jnp.ndarray,  # (Hd, Wd) bool: resized non_presence & edge mask
+) -> DensifyCandidates:
+    gt_depth = frame.depth[0]
+    keep = (keep_mask & (gt_depth > 0)).reshape(-1)
+    K = jnp.asarray(cam.intrinsics)
+    w2c = geo.pose_to_w2c(geo.normalize(cam_quat), cam_trans)
+    pts = geo.backproject(gt_depth, K, c2w=geo.invert_se3(w2c))
+    msq = geo.mean_sq_dist_projective(gt_depth.reshape(-1), K[0, 0], K[1, 1])
+    colors = frame.color.reshape(3, -1).T
+    return DensifyCandidates(points=pts, colors=colors, mean3_sq_dist=msq,
+                             keep=keep, non_presence=keep_mask)
+
+
+def first_frame_pointcloud(frame: Frame, cam: Camera,
+                           mask: jnp.ndarray | None = None):
+    """Full-frame back-projection for first-frame / base-frame section init
+    (/root/reference/src/vtgaussian_slam.py:191-282). Returns
+    (points, colors, mean_sq_dist, keep) at static H*W shape."""
+    gt_depth = frame.depth[0]
+    keep = gt_depth > 0
+    if mask is not None:
+        keep = keep & mask
+    K = jnp.asarray(cam.intrinsics)
+    pts = geo.backproject(gt_depth, K)  # camera frame == world for frame 0
+    msq = geo.mean_sq_dist_projective(gt_depth.reshape(-1), K[0, 0], K[1, 1])
+    colors = frame.color.reshape(3, -1).T
+    return pts, colors, msq, keep.reshape(-1)
+
+
+def base_frame_pointcloud(frame: Frame, cam: Camera, w2c: jnp.ndarray,
+                          mask: jnp.ndarray | None = None):
+    """Back-projection at a tracked pose for new-base-frame section init
+    (/root/reference/src/vtgaussian_slam.py:285-373)."""
+    gt_depth = frame.depth[0]
+    keep = gt_depth > 0
+    if mask is not None:
+        keep = keep & mask
+    K = jnp.asarray(cam.intrinsics)
+    pts = geo.backproject(gt_depth, K, c2w=geo.invert_se3(w2c))
+    msq = geo.mean_sq_dist_projective(gt_depth.reshape(-1), K[0, 0], K[1, 1])
+    colors = frame.color.reshape(3, -1).T
+    return pts, colors, msq, keep.reshape(-1)

@@ -1,0 +1,143 @@
+"""Mapping: per-frame Gaussian optimization as ONE jit over all iterations.
+
+TPU redesign of the reference mapping loop
+(/root/reference/src/vtgaussian_slam.py:2516-2780). Structural changes:
+
+- The reference fetches `dataset[idx]` from DISK inside the optimization loop
+  (:2583-2585). Here all candidate keyframes are pre-staged in a
+  device-resident buffer; the per-iteration random choice is a jax PRNG draw
+  plus a dynamic gather — no host I/O in the loop.
+- The whole `num_iters` loop (render -> masked loss (+ global-consistency
+  term) -> Adam(eps=1e-15) on the Gaussian attributes) is one `lax.fori_loop`.
+- The global term concatenates two FROZEN earlier sections with the trainable
+  buffer (:2485-2510); frozen Gaussians are stop_gradient'ed, which is
+  exactly the effect of the reference's all-zero `fixed_lrs` optimizer.
+- Pose updates during mapping use lrs of 1e-8/1e-7 in every reference config
+  (e.g. configs/replica/room0.py:105-106) — numerically a no-op — so poses
+  are held fixed here and the boundary re-anchoring (:2706-2727), which
+  transports new Gaussians by the (unchanged) pose delta, reduces to the
+  identity. Revisit if a config ever sets real mapping pose lrs.
+
+The per-iteration random keyframe stream uses jax PRNG (counter-based,
+seeded from the run seed + frame index) instead of global numpy RNG state —
+same distribution, different sequence.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models.gaussians import GaussianParams
+from ..models.optimizer import adam_init, adam_step
+from ..ops.camera import Camera
+from .losses import Frame, LossConfig, compute_loss
+
+
+class MappingConfig(NamedTuple):
+    num_iters: int
+    lrs: tuple             # sorted (field_name, lr) pairs for GaussianParams
+    loss_cfg: LossConfig   # tracking=False
+    use_global: bool       # add frozen-section consistency term
+    baseframe_every: int
+
+
+class KeyframeBuffer(NamedTuple):
+    """Device-staged candidate keyframes for one mapping phase."""
+    colors: jnp.ndarray   # (B, 3, H, W)
+    depths: jnp.ndarray   # (B, 1, H, W)
+    quats: jnp.ndarray    # (B, 4) estimated w2c rotations
+    trans: jnp.ndarray    # (B, 3)
+    frame_ids: jnp.ndarray  # (B,) int32 dataset time indices
+    count: jnp.ndarray    # scalar int32 — number of valid entries
+
+
+def _lr_tree(params: GaussianParams, lrs: dict) -> GaussianParams:
+    return GaussianParams(
+        means3d=lrs.get("means3D", 0.0),
+        rgb_colors=lrs.get("rgb_colors", 0.0),
+        unnorm_rotations=lrs.get("unnorm_rotations", 0.0),
+        logit_opacities=lrs.get("logit_opacities", 0.0),
+        log_scales=lrs.get("log_scales", 0.0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def map_frame(
+    params: GaussianParams,        # trainable fused section buffer
+    active: jnp.ndarray,
+    fixed_params: GaussianParams,  # frozen global prefix (dummy if unused)
+    fixed_active: jnp.ndarray,
+    kf: KeyframeBuffer,
+    rng: jnp.ndarray,
+    cam: Camera,
+    cfg: MappingConfig,
+) -> GaussianParams:
+    lrs = _lr_tree(params, dict(cfg.lrs))
+    opt_state = adam_init(params)
+
+    fixed = jax.tree.map(jax.lax.stop_gradient, fixed_params)
+
+    # Leaves with lr == 0 never move (torch Adam with lr 0 is a no-op update);
+    # stop their gradients statically so XLA skips the backward scatter-adds
+    # entirely — e.g. means3D/unnorm_rotations in every reference config.
+    lr_dict = dict(cfg.lrs)
+    _FIELDS = ("means3D", "rgb_colors", "unnorm_rotations",
+               "logit_opacities", "log_scales")
+    _ATTRS = ("means3d", "rgb_colors", "unnorm_rotations",
+              "logit_opacities", "log_scales")
+
+    def freeze_zero_lr(p: GaussianParams) -> GaussianParams:
+        vals = {}
+        for f, a in zip(_FIELDS, _ATTRS):
+            v = getattr(p, a)
+            vals[a] = jax.lax.stop_gradient(v) if lr_dict.get(f, 0.0) == 0.0 else v
+        return GaussianParams(**vals)
+
+    def loss_fn(p: GaussianParams, frame: Frame, quat, trans, kf_id):
+        p = freeze_zero_lr(p)
+        out = compute_loss(p, active, quat, trans, frame, cam, cfg.loss_cfg,
+                           jnp.asarray(0.5, jnp.float32), jnp.asarray(False))
+        loss = out.loss
+        if cfg.use_global:
+            def add_global(l):
+                # concat frozen prefix + trainable buffer; frozen part carries
+                # no gradient (fixed_lrs == 0 in the reference)
+                gp = GaussianParams(
+                    means3d=jnp.concatenate([fixed.means3d, p.means3d]),
+                    rgb_colors=jnp.concatenate([fixed.rgb_colors, p.rgb_colors]),
+                    unnorm_rotations=jnp.concatenate(
+                        [fixed.unnorm_rotations, p.unnorm_rotations]),
+                    logit_opacities=jnp.concatenate(
+                        [fixed.logit_opacities, p.logit_opacities]),
+                    log_scales=jnp.concatenate([fixed.log_scales, p.log_scales]),
+                )
+                g_active = jnp.concatenate([fixed_active, active])
+                gout = compute_loss(gp, g_active, quat, trans, frame, cam,
+                                    cfg.loss_cfg, jnp.asarray(0.5, jnp.float32),
+                                    jnp.asarray(False))
+                return l + gout.loss
+
+            # global term applies when the sampled keyframe is a base frame
+            # (/root/reference/src/vtgaussian_slam.py:2599-2603)
+            is_base = (kf_id % cfg.baseframe_every) == 0
+            loss = jax.lax.cond(is_base, add_global, lambda l: l, loss)
+        return loss
+
+    grad_fn = jax.grad(loss_fn)
+
+    def body(i, carry):
+        p, opt = carry
+        k = jax.random.fold_in(rng, i)
+        idx = jax.random.randint(k, (), 0, kf.count)
+        frame = Frame(color=kf.colors[idx], depth=kf.depths[idx])
+        grads = grad_fn(p, frame, kf.quats[idx], kf.trans[idx],
+                        kf.frame_ids[idx])
+        p, opt = adam_step(p, grads, opt, lrs, eps=1e-15)
+        return (p, opt)
+
+    params, _ = jax.lax.fori_loop(0, cfg.num_iters, body, (params, opt_state))
+    return params

@@ -1,0 +1,110 @@
+"""Jit-resident point-to-plane candidate metric.
+
+Replaces `compute_point2plane_dist` (/root/reference/src/vtgaussian_slam.py:
+1070-1155), which round-tripped to Open3D's `evaluate_registration`
+correspondence search on the CPU *every tracking iteration* — the dominant
+host-sync stall of the reference (SURVEY.md section 3.2). TPU redesign:
+
+- target frame (fixed during a tracked frame): back-project all valid pixels
+  (depth factor 1, :1087), finite-difference normals (replacing kornia
+  `depth_to_normals`, :1081), both lifted to world via the target pose.
+- source frame (pose = current iterate): back-project, then associate
+  correspondences *projectively* — project source points into the target
+  camera and take the target point at the nearest pixel — instead of a
+  nearest-neighbor tree. Pairs farther than the same 0.02 m threshold are
+  dropped, and both frustum culls (:1117-1122, edge 0) are applied.
+- metric over pairs: sum((n . dp)^2) | max|n . dp| | mean of top-100
+  (:1149-1154, methods "sum"/"max"/"max100").
+
+Everything is static-shape and differentiating-free (metric only steers
+candidate selection, parity with torch.no_grad usage).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import geometry as geo
+
+
+class P2PTarget(NamedTuple):
+    pts_world: jnp.ndarray      # (H*W, 3)
+    normals_world: jnp.ndarray  # (H*W, 3)
+    valid: jnp.ndarray          # (H*W,) bool
+    w2c: jnp.ndarray            # (4, 4)
+    intrinsics: jnp.ndarray     # (3, 3)
+    height: int
+    width: int
+
+
+def make_p2p_target(depth: jnp.ndarray, intrinsics: jnp.ndarray,
+                    w2c: jnp.ndarray) -> P2PTarget:
+    """Precompute target-frame geometry (once per tracked frame)."""
+    d = depth[0] if depth.ndim == 3 else depth
+    H, W = d.shape
+    c2w = geo.invert_se3(w2c)
+    pts = geo.backproject(d, intrinsics, c2w=c2w, depth_factor=1.0)
+    normals_cam = geo.depth_to_normals(d, intrinsics).reshape(-1, 3)
+    normals_world = normals_cam @ c2w[:3, :3].T
+    return P2PTarget(
+        pts_world=pts,
+        normals_world=normals_world,
+        valid=(d > 0).reshape(-1),
+        w2c=w2c,
+        intrinsics=intrinsics,
+        height=H,
+        width=W,
+    )
+
+
+def point2plane_metric(
+    target: P2PTarget,
+    src_depth: jnp.ndarray,    # (1, H, W) or (H, W)
+    src_intrinsics: jnp.ndarray,
+    src_w2c: jnp.ndarray,      # current pose iterate
+    method: str = "sum",
+    dist_thres: float = 0.02,
+) -> jnp.ndarray:
+    d = src_depth[0] if src_depth.ndim == 3 else src_depth
+    H, W = d.shape
+    src_c2w = geo.invert_se3(src_w2c)
+    src_pts = geo.backproject(d, src_intrinsics, c2w=src_c2w, depth_factor=1.0)
+    src_valid = (d > 0).reshape(-1)
+
+    # frustum culls, both directions (reference frustum=True path)
+    src_in_tgt = geo.frustum_mask(target.w2c, target.intrinsics, src_pts,
+                                  target.height, target.width, edge=0.0)
+    tgt_in_src = geo.frustum_mask(src_w2c, src_intrinsics, target.pts_world, H, W,
+                                  edge=0.0)
+
+    # projective association: source point -> nearest pixel in target image
+    pts_tcam = geo.transform_points(target.w2c, src_pts)
+    uv, z = geo.project_points(pts_tcam, target.intrinsics)
+    px = jnp.round(uv[:, 0]).astype(jnp.int32)
+    py = jnp.round(uv[:, 1]).astype(jnp.int32)
+    inb = (px >= 0) & (px < target.width) & (py >= 0) & (py < target.height)
+    pix = jnp.clip(py, 0, target.height - 1) * target.width + jnp.clip(
+        px, 0, target.width - 1)
+    tgt_pt = target.pts_world[pix]
+    tgt_n = target.normals_world[pix]
+    tgt_ok = target.valid[pix] & tgt_in_src[pix]
+
+    dp = src_pts - tgt_pt
+    pair = (
+        src_valid & src_in_tgt & inb & tgt_ok
+        & (jnp.sum(dp * dp, -1) < dist_thres * dist_thres)
+        & (z > 0)
+    )
+    resid = jnp.sum(tgt_n * dp, axis=-1)
+    resid = jnp.where(pair, resid, 0.0)
+
+    if method == "sum":
+        return jnp.sum(resid * resid)
+    if method == "max":
+        return jnp.max(jnp.abs(resid))
+    if method == "max100":
+        top = jax.lax.top_k(jnp.abs(resid), 100)[0]
+        return jnp.mean(top)
+    raise ValueError(f"unknown p2p method {method!r}")

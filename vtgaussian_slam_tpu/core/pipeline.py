@@ -1,0 +1,755 @@
+"""The online SLAM engine: tracking -> densification -> mapping per frame.
+
+TPU-native reorchestration of `rgbd_slam`
+(/root/reference/src/vtgaussian_slam.py:1198-2891). The per-frame Python loop
+stays on host (it is control flow over a handful of scalars), but every
+heavy stage is a single jit call on device state:
+
+  frame staged to HBM -> pose forward-prop (jit) -> track_frame (ONE jit for
+  the whole iteration loop) -> densify candidates (jit) + masked append ->
+  map_frame (ONE jit for the whole mapping loop) -> store updates.
+
+Differences from the reference, by design (each noted inline):
+- sections stay device-resident (no per-frame CPU offload, :2832-2843);
+  capacity-padded buffers keep jit signatures stable while densification
+  grows the map.
+- mapping keyframe pixels live in a device ring buffer instead of re-reading
+  `dataset[idx]` inside the optimization loop (:2583-2585).
+- the point-to-plane candidate metric runs in-jit (core/p2p.py) instead of
+  per-iteration Open3D CPU round trips (:1929).
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..datasets import get_dataset, load_dataset_config
+from ..models import gaussians as G
+from ..ops import geometry as geo
+from ..ops.camera import Camera, setup_camera
+from ..ops.image import geometric_edge_mask, resize_mask_nearest
+from .config import prepare_config, separate_densification_res
+from .densify import (base_frame_pointcloud, densify_candidates_base,
+                      densify_candidates_stream, first_frame_pointcloud)
+from .losses import Frame, LossConfig
+from .mapping import KeyframeBuffer, MappingConfig, map_frame
+from .p2p import P2PTarget, make_p2p_target
+from .selection import (find_earliest_keyframe, overlap_percents,
+                        select_earliest_topk_base, select_topk_overlap,
+                        select_visbased)
+from .tracking import TrackingConfig, init_track_state, track_frame
+
+
+@jax.jit
+def _propagate_pose(quats, trans, t):
+    """Constant-velocity pose init (reference `initialize_camera_pose`,
+    /root/reference/src/vtgaussian_slam.py:838-875). Returns (quat, trans)
+    for frame t from frames t-1, t-2 (t-1 copy when t < 2)."""
+    def fwd(_):
+        w2c1 = geo.pose_to_w2c(geo.normalize(quats[t - 1]), trans[t - 1])
+        w2c2 = geo.pose_to_w2c(geo.normalize(quats[t - 2]), trans[t - 2])
+        w2c = geo.constant_velocity_init(w2c1, w2c2)
+        return geo.rotmat_to_quat(w2c[:3, :3]), w2c[:3, 3]
+
+    def copy(_):
+        return quats[t - 1], trans[t - 1]
+
+    return jax.lax.cond(t > 1, fwd, copy, None)
+
+
+@jax.jit
+def _pose_from_rel(quats, trans, t, rel_c2w):
+    """Odometer-relative init: w2c_t = inv(c2w_{t-1} @ rel) (:822-837)."""
+    w2c1 = geo.pose_to_w2c(geo.normalize(quats[t - 1]), trans[t - 1])
+    w2c = geo.invert_se3(geo.invert_se3(w2c1) @ rel_c2w)
+    return geo.rotmat_to_quat(w2c[:3, :3]), w2c[:3, 3]
+
+
+class BaseframeStore:
+    """Device-resident candidate pool for overlap selection (the reference's
+    `baseframe_list` of CPU dicts, :2804-2818)."""
+
+    def __init__(self, H: int, W: int, quantum: int = 64):
+        self.H, self.W, self.quantum = H, W, quantum
+        self.ids: list[int] = []
+        self.depths = jnp.zeros((quantum, H, W), jnp.float32)
+        self.quats = jnp.zeros((quantum, 4), jnp.float32)
+        self.trans = jnp.zeros((quantum, 3), jnp.float32)
+
+    def append(self, frame_id: int, depth, quat, trans):
+        i = len(self.ids)
+        if i >= self.depths.shape[0]:
+            grow = self.depths.shape[0] + self.quantum
+            self.depths = jnp.pad(self.depths, ((0, self.quantum), (0, 0), (0, 0)))
+            self.quats = jnp.pad(self.quats, ((0, self.quantum), (0, 0)))
+            self.trans = jnp.pad(self.trans, ((0, self.quantum), (0, 0)))
+        self.depths = self.depths.at[i].set(depth)
+        self.quats = self.quats.at[i].set(quat)
+        self.trans = self.trans.at[i].set(trans)
+        self.ids.append(frame_id)
+
+    def w2cs(self):
+        return jax.vmap(geo.pose_to_w2c)(geo.normalize(self.quats), self.trans)
+
+    def __len__(self):
+        return len(self.ids)
+
+
+def build_dataset(config: dict, densify_res: bool = False):
+    """Dataset construction shared by the engine and eval_mode."""
+    config = prepare_config(config)
+    data_cfg = config["data"]
+    if "gradslam_data_cfg" not in data_cfg:
+        gradslam_cfg = {"dataset_name": data_cfg["dataset_name"]}
+    else:
+        gradslam_cfg = load_dataset_config(data_cfg["gradslam_data_cfg"])
+    if "synthetic" in data_cfg:
+        gradslam_cfg["synthetic"] = data_cfg["synthetic"]
+    hw_key = "densification_image" if densify_res else "desired_image"
+    return get_dataset(
+        config_dict=gradslam_cfg,
+        basedir=data_cfg.get("basedir", ""),
+        sequence=os.path.basename(str(data_cfg.get("sequence", ""))),
+        start=data_cfg.get("start", 0),
+        end=data_cfg.get("end", -1),
+        stride=data_cfg.get("stride", 1),
+        desired_height=data_cfg[f"{hw_key}_height"],
+        desired_width=data_cfg[f"{hw_key}_width"],
+        relative_pose=True,
+        ignore_bad=data_cfg["ignore_bad"],
+        use_train_split=data_cfg["use_train_split"],
+    )
+
+
+class VTGaussianSLAM:
+    def __init__(self, config: dict):
+        self.config = prepare_config(config)
+        cfg = self.config
+        data_cfg = cfg["data"]
+
+        if "gradslam_data_cfg" not in data_cfg:
+            gradslam_cfg = {"dataset_name": data_cfg["dataset_name"]}
+        else:
+            gradslam_cfg = load_dataset_config(data_cfg["gradslam_data_cfg"])
+        self.dataset_name = gradslam_cfg["dataset_name"]
+
+        self.dataset = build_dataset(cfg)
+        self.sep_densify = separate_densification_res(cfg)
+        self.densify_dataset = build_dataset(cfg, densify_res=True) \
+            if self.sep_densify else None
+
+        self.num_frames = data_cfg.get("num_frames", -1)
+        if self.num_frames == -1:
+            self.num_frames = len(self.dataset)
+        self.bfe = cfg["baseframe_every"]
+        self.quantum = cfg["tpu"]["capacity_quantum"]
+        self.backend_kwargs = tuple(sorted({
+            "span_cap": cfg["tpu"]["span_cap"],
+            "max_pairs_per_tile": cfg["tpu"]["max_pairs_per_tile"],
+            "chunk": cfg["tpu"]["blend_chunk"],
+        }.items()))
+
+        # cameras
+        color0, depth0, intrinsics0, pose0 = self.dataset[0]
+        self.intrinsics = np.asarray(intrinsics0)[:3, :3]
+        H, W = color0.shape[:2]
+        self.cam = setup_camera(W, H, self.intrinsics)
+        if self.sep_densify:
+            _, _, dK, _ = self.densify_dataset[0]
+            dH = data_cfg["densification_image_height"]
+            dW = data_cfg["densification_image_width"]
+            self.densify_cam = setup_camera(dW, dH, np.asarray(dK)[:3, :3])
+        else:
+            self.densify_cam = self.cam
+        self.first_frame_w2c = np.linalg.inv(np.asarray(pose0, np.float64))
+
+        # run state
+        self.sections: list[G.Section] = []
+        self.traj = G.CameraTrajectory.create(self.num_frames)
+        self.gt_w2c: list[np.ndarray] = []
+        self.rng = jax.random.PRNGKey(cfg["seed"])
+        self.np_rng = np.random.RandomState(cfg["seed"])
+        self.baseframes = BaseframeStore(
+            H, W, cfg["tpu"]["baseframe_capacity_quantum"])
+        self.tracking_corr: list[list] = []     # tracking_baseframe_corr_list
+        self.earliest_corr: list[list] = []     # earliest_baseframe_corr_list
+        self.mapping_corr: list[list] = []      # baseframe_corr_list (mapping)
+        self.fixed_section_ids: tuple[int, int] | None = None
+        self.depth_means: list[float] = []      # far-depth-filter statistics
+        self.num_gs_per_frame_ls: list[int] = []
+
+        # section keyframe ring (mapping targets)
+        self.ring_colors = jnp.zeros((self.bfe, 3, H, W), jnp.float32)
+        self.ring_depths = jnp.zeros((self.bfe, 1, H, W), jnp.float32)
+
+        # timing accumulators (reference "Final Stats", :2846-2867)
+        self.stats = {
+            "tracking_iter_time_sum": 0.0, "tracking_iter_count": 0,
+            "tracking_frame_time_sum": 0.0, "tracking_frame_count": 0,
+            "mapping_iter_time_sum": 0.0, "mapping_iter_count": 0,
+            "mapping_frame_time_sum": 0.0, "mapping_frame_count": 0,
+        }
+
+        self._init_first_frame(color0, depth0)
+
+    # ------------------------------------------------------------------
+    def _stage(self, color_np, depth_np) -> Frame:
+        color = jnp.asarray(np.transpose(color_np, (2, 0, 1)) / 255.0,
+                            jnp.float32)
+        depth = jnp.asarray(np.transpose(depth_np, (2, 0, 1)), jnp.float32)
+        return Frame(color=color, depth=depth)
+
+    def _edge_mask_for(self, color_np, width, height) -> np.ndarray:
+        mask = geometric_edge_mask(color_np.astype(np.uint8), dilate=True,
+                                   RGB=True)
+        mask = resize_mask_nearest(mask, width, height)
+        return mask.astype(bool)
+
+    def _densify_frame(self, t) -> Frame:
+        ds = self.densify_dataset if self.sep_densify else self.dataset
+        color, depth, _, _ = ds[t]
+        return self._stage(color, depth)
+
+    def _loss_cfg(self, tracking: bool, use_vis: bool = False,
+                  use_far: bool = False) -> LossConfig:
+        tr = self.config["tracking" if tracking else "mapping"]
+        return LossConfig(
+            tracking=tracking,
+            use_sil_for_loss=tr["use_sil_for_loss"],
+            ignore_outlier_depth_loss=tr["ignore_outlier_depth_loss"],
+            adaptive_sil=(tracking and self.dataset_name == "replica"
+                          and tr["use_sil_for_loss"]),
+            use_vis_mask=use_vis,
+            use_far_filter=use_far,
+            im_weight=float(tr["loss_weights"]["im"]),
+            depth_weight=float(tr["loss_weights"]["depth"]),
+            isotropic=self.config["gaussian_distribution"] == "isotropic",
+            backend_kwargs=self.backend_kwargs,
+        )
+
+    # ------------------------------------------------------------------
+    def _init_first_frame(self, color0, depth0):
+        cfg = self.config
+        frame = self._stage(color0, depth0)
+        pts, cols, msq, keep = first_frame_pointcloud(frame, self.cam)
+
+        parts = [(pts, cols, msq, keep)]
+        # hi-res densification stream masked by the Canny edge mask (:214-246)
+        edge = self._edge_mask_for(color0, self.densify_cam.width,
+                                   self.densify_cam.height)
+        dframe = self._densify_frame(0) if self.sep_densify else frame
+        dmask = edge if self.sep_densify else self._edge_mask_for(
+            color0, self.cam.width, self.cam.height)
+        dcam = self.densify_cam if self.sep_densify else self.cam
+        dpts, dcols, dmsq, dkeep = first_frame_pointcloud(
+            dframe, dcam, mask=jnp.asarray(dmask))
+        parts.append((dpts, dcols, dmsq, dkeep))
+
+        self._new_section_from_parts(parts, timestep=0.0,
+                                     depth_max=float(jnp.max(frame.depth)))
+        self.gt_w2c.append(self.first_frame_w2c.copy())
+        self._ring_write(0, frame)
+        self._frame0 = frame
+
+    def _new_section_from_parts(self, parts, timestep, depth_max):
+        """Compact (points, colors, msq, keep) part lists into a new Section."""
+        pts = jnp.concatenate([p[0] for p in parts])
+        cols = jnp.concatenate([p[1] for p in parts])
+        msq = jnp.concatenate([p[2] for p in parts])
+        keep = jnp.concatenate([p[3] for p in parts])
+        n = int(jnp.sum(keep))
+        cap = G.round_capacity(n, self.quantum)
+        order = jnp.argsort(~keep)  # kept entries first, stable
+
+        def fit(x, fill=0.0):
+            if cap <= x.shape[0]:
+                return x[order][:cap]
+            pad = ((0, cap - x.shape[0]),) + ((0, 0),) * (x.ndim - 1)
+            return jnp.pad(x[order], pad, constant_values=fill)
+
+        sec = G.init_section(
+            points=fit(pts),
+            colors=fit(cols),
+            mean3_sq_dist=fit(msq, fill=1.0),
+            n_valid=n,
+            capacity=cap,
+            timestep=timestep,
+            scene_radius=depth_max / self.config["scene_radius_depth_ratio"],
+        )
+        self.sections.append(sec)
+        self.num_gs_per_frame_ls.append(n)
+
+    def _ring_write(self, idx_in_sec: int, frame: Frame):
+        self.ring_colors = self.ring_colors.at[idx_in_sec].set(frame.color)
+        self.ring_depths = self.ring_depths.at[idx_in_sec].set(frame.depth)
+
+    def _traj_w2c_np(self, t: int) -> np.ndarray:
+        q = geo.normalize(self.traj.quats[t])
+        return np.asarray(geo.pose_to_w2c(q, self.traj.trans[t]))
+
+    # ------------------------------------------------------------------
+    def _select_boundary_sections(self, t, frame, cand_w2c) -> tuple[list[int], int]:
+        """Pick candidate base sections to track against at a boundary frame.
+        Returns (section ids, overlap target frame id)."""
+        cfg = self.config
+        bf_idx = t // self.bfe
+        tr = cfg["tracking"]
+        K = jnp.asarray(self.intrinsics, jnp.float32)
+
+        if self.dataset_name == "replica":
+            if bf_idx == 1:
+                top_time = 0
+            else:
+                B = len(self.baseframes)
+                self.rng, k = jax.random.split(self.rng)
+                pct = overlap_percents(
+                    frame.depth[0], cand_w2c, K,
+                    self.baseframes.w2cs()[:B], self.baseframes.depths[:B],
+                    k, pixels=1600, edge=tr["edge"], use_vis=False)
+                sel = select_topk_overlap(np.asarray(pct), 1)
+                top_time = self.baseframes.ids[sel[-1]] if sel else 0
+            corr = [top_time, (bf_idx - 1) * self.bfe, t]
+            self.tracking_corr.append(corr)
+
+            def score_one(sec_idx):
+                self.rng, k = jax.random.split(self.rng)
+                pct = overlap_percents(
+                    frame.depth[0], cand_w2c, K,
+                    self.baseframes.w2cs()[sec_idx: sec_idx + 1],
+                    self.baseframes.depths[sec_idx: sec_idx + 1],
+                    k, pixels=1600, edge=tr["edge"], use_vis=False)
+                return float(pct[0])
+
+            earliest = find_earliest_keyframe(
+                self.tracking_corr, score_one, self.bfe, tr["keyframe_thresh"])
+            self.earliest_corr.append([earliest, None, t])
+            return [earliest // self.bfe], earliest
+
+        if self.dataset_name == "scannetpp":
+            return [bf_idx - 1], (bf_idx - 1) * self.bfe
+
+        # tum / scannet: dynamic-threshold earliest top-k base sections
+        ignore = int(self.bfe / cfg["overlap_every"])
+        pool = len(self.baseframes) - (ignore - 1)
+        pool = max(pool, 1)
+        self.rng, k = jax.random.split(self.rng)
+        pct = overlap_percents(
+            frame.depth[0], cand_w2c, K,
+            self.baseframes.w2cs()[:pool], self.baseframes.depths[:pool],
+            k, pixels=0, edge=tr["edge"], use_vis=True,
+            kf_depth_thresh=tr["kf_depth_thresh"])
+        topk = None if (t // self.bfe) <= 2 else tr["topk_base"]
+        secs = select_earliest_topk_base(
+            np.asarray(pct), cfg, tr["earliest_thres"],
+            tr["lower_earliest_thres_percent"], topk)
+        self.earliest_corr.append([t, "selected_baseframes", secs])
+        return secs, secs[0] * self.bfe
+
+    # ------------------------------------------------------------------
+    def _track(self, t, frame, frame_color_np):
+        """Full tracking for one frame; commits the best pose into traj."""
+        cfg = self.config
+        tr = cfg["tracking"]
+        bf_idx = t // self.bfe
+        idx_in = t % self.bfe
+        boundary = idx_in == 0
+
+        # pose init (const velocity), written into traj
+        q0, tr0 = _propagate_pose(self.traj.quats, self.traj.trans, t)
+        self.traj = self.traj.replace(
+            quats=self.traj.quats.at[t].set(q0),
+            trans=self.traj.trans.at[t].set(tr0))
+
+        # far-depth filter (non-replica, :1428-1436): mean of valid depths,
+        # threshold = factor * mean of the 30 largest per-frame means
+        far_thres = None
+        if self.dataset_name != "replica":
+            dm = float(jnp.sum(frame.depth * (frame.depth > 0))
+                       / jnp.maximum(jnp.sum(frame.depth > 0), 1))
+            self.depth_means.append(dm)
+            self.depth_means.sort()
+            far_id = min(30, len(self.depth_means))
+            far_thres = cfg["far_depth_factor"] * float(
+                np.mean(self.depth_means[-far_id:]))
+
+        num_iters = tr["num_iters"]
+        if self.dataset_name != "scannetpp" and bf_idx == 0 and \
+                tr.get("base1_num_iters"):
+            num_iters = tr["base1_num_iters"]
+        sil_thres = tr["sil_thres"]
+        if boundary and tr.get("sil_thres_base") is not None:
+            sil_thres = tr["sil_thres_base"]
+
+        H, W = self.cam.height, self.cam.width
+        ones_mask = jnp.ones((H, W), bool)
+        far_mask = ones_mask
+        use_far = (far_thres is not None
+                   and self.dataset_name not in ("replica", "scannetpp"))
+        if use_far:
+            far_mask = (frame.depth[0] < far_thres)
+
+        dummy_p2p = make_p2p_target(jnp.ones((1, 8, 8), jnp.float32) * 0,
+                                    jnp.eye(3), jnp.eye(4))
+
+        if boundary and bf_idx >= 1:
+            cand_w2c = jnp.asarray(self._traj_w2c_np(t))
+            cand_secs, overlap_frame = self._select_boundary_sections(
+                t, frame, cand_w2c)
+        else:
+            cand_secs, overlap_frame = [min(bf_idx, len(self.sections) - 1)], None
+
+        t_start = time.time()
+        results = []
+        if boundary and bf_idx >= 1 and self.dataset_name in ("tum", "scannet"):
+            # phase 1: optimize each hypothesis for 31 iters by plain loss
+            phase1 = TrackingConfig(
+                num_iters=min(31, num_iters), lr_quat=tr["lrs"]["cam_unnorm_rots"],
+                lr_trans=tr["lrs"]["cam_trans"], metric="loss",
+                p2p_method=tr["p2p_method"],
+                loss_cfg=self._loss_cfg(True, use_far=use_far))
+            states = []
+            for sec_id in cand_secs:
+                sec = self.sections[sec_id]
+                st = init_track_state(q0, tr0, sil_thres)
+                st = track_frame(sec.params, sec.active_mask(), st, frame,
+                                 far_mask, dummy_p2p, self.cam, phase1)
+                states.append(st)
+            losses = [float(s.min_loss) for s in states]
+            win = int(np.argmin(losses))
+            sec_id = cand_secs[win]
+            state = states[win]
+            chosen_base = sec_id * self.bfe
+
+            # phase 2: visibility-masked loss + overlap p2p metric
+            vis_mask = self._boundary_vis_mask(t, frame, state, chosen_base)
+            aux = far_mask & vis_mask
+            p2p_t = self._overlap_p2p_target(chosen_base)
+            phase2 = TrackingConfig(
+                num_iters=max(num_iters - phase1.num_iters, 0),
+                lr_quat=tr["lrs"]["cam_unnorm_rots"],
+                lr_trans=tr["lrs"]["cam_trans"], metric="p2p",
+                p2p_method=tr["p2p_method"],
+                loss_cfg=self._loss_cfg(True, use_vis=True, use_far=use_far))
+            sec = self.sections[sec_id]
+            state = state.replace(min_metric=jnp.asarray(1e20, jnp.float32))
+            if phase2.num_iters > 0:
+                state = track_frame(sec.params, sec.active_mask(), state, frame,
+                                    aux, p2p_t, self.cam, phase2)
+            results.append((sec_id, state))
+        else:
+            metric = "loss"
+            p2p_t = dummy_p2p
+            if boundary and bf_idx >= 1 and self.dataset_name == "replica":
+                metric = "p2p"
+                p2p_t = self._overlap_p2p_target(overlap_frame)
+            tcfg = TrackingConfig(
+                num_iters=num_iters, lr_quat=tr["lrs"]["cam_unnorm_rots"],
+                lr_trans=tr["lrs"]["cam_trans"], metric=metric,
+                p2p_method=tr["p2p_method"],
+                loss_cfg=self._loss_cfg(True, use_far=use_far))
+            sec_id = cand_secs[0]
+            sec = self.sections[sec_id]
+            state = init_track_state(q0, tr0, sil_thres)
+            state = track_frame(sec.params, sec.active_mask(), state, frame,
+                                far_mask, p2p_t, self.cam, tcfg)
+
+            # depth-loss-threshold iteration doubling (:2218-2229)
+            if tr["use_depth_loss_thres"] and float(state.depth_loss) >= \
+                    tr["depth_loss_thres"]:
+                state = track_frame(sec.params, sec.active_mask(), state, frame,
+                                    far_mask, p2p_t, self.cam,
+                                    tcfg._replace(num_iters=num_iters))
+            results.append((sec_id, state))
+
+        sec_id, state = results[-1]
+        state.best_quat.block_until_ready()
+        dt = time.time() - t_start
+        self.stats["tracking_frame_time_sum"] += dt
+        self.stats["tracking_frame_count"] += 1
+        total_iters = num_iters if not (
+            boundary and bf_idx >= 1 and self.dataset_name in ("tum", "scannet")
+        ) else num_iters * max(1, len(cand_secs))
+        self.stats["tracking_iter_time_sum"] += dt
+        self.stats["tracking_iter_count"] += max(total_iters, 1)
+
+        # commit best pose
+        self.traj = self.traj.replace(
+            quats=self.traj.quats.at[t].set(state.best_quat),
+            trans=self.traj.trans.at[t].set(state.best_trans))
+        return sec_id
+
+    def _overlap_p2p_target(self, frame_id: int) -> P2PTarget:
+        _, depth, _, _ = self.dataset[frame_id]
+        d = jnp.asarray(np.transpose(depth, (2, 0, 1)), jnp.float32)
+        w2c = jnp.asarray(self._traj_w2c_np(frame_id), jnp.float32)
+        return make_p2p_target(d, jnp.asarray(self.intrinsics, jnp.float32), w2c)
+
+    def _boundary_vis_mask(self, t, frame, state, chosen_base) -> jnp.ndarray:
+        """Union of visibility masks vs the chosen overlap section's first
+        (tum) / first+mid+last (scannet, scannetpp) frames (:2074-2110,
+        :536-584)."""
+        K = jnp.asarray(self.intrinsics, jnp.float32)
+        H, W = self.cam.height, self.cam.width
+        curr_w2c = geo.pose_to_w2c(geo.normalize(state.quat), state.trans)
+        pts = geo.backproject(frame.depth[0], K, c2w=geo.invert_se3(curr_w2c),
+                              depth_factor=1.0, pixel_center=0.0)
+        ids = [chosen_base]
+        if self.dataset_name in ("scannet", "scannetpp"):
+            ids += [chosen_base + self.bfe // 2, chosen_base + self.bfe - 1]
+        mask = jnp.zeros((H * W,), bool)
+        thres = self.config["tracking"]["vis_mask_thres"]
+        for fid in ids:
+            fid = min(fid, t - 1)
+            _, depth, _, _ = self.dataset[fid]
+            od = jnp.asarray(depth[..., 0], jnp.float32)
+            ow2c = jnp.asarray(self._traj_w2c_np(fid), jnp.float32)
+            mask = mask | geo.visibility_mask(pts, ow2c, K, od, thres)
+        return mask.reshape(H, W)
+
+    # ------------------------------------------------------------------
+    def _densify(self, t, frame, edge_mask_np):
+        """Insert new Gaussians into the current section (:2346-2390)."""
+        bf_idx = t // self.bfe
+        sec = self.sections[bf_idx]
+        quat, trans = self.traj.quats[t], self.traj.trans[t]
+        cand = densify_candidates_base(
+            sec.params, sec.active_mask(), quat, trans, frame, self.cam,
+            self.config["mapping"]["sil_thres"], self.backend_kwargs)
+
+        parts = [(cand.points, cand.colors, cand.mean3_sq_dist, cand.keep)]
+        # densify stream: resized non-presence & edge mask & valid depth
+        dcam = self.densify_cam
+        np_mask = resize_mask_nearest(
+            np.asarray(cand.non_presence).astype(np.uint8),
+            dcam.width, dcam.height).astype(bool)
+        e_mask = resize_mask_nearest(edge_mask_np.astype(np.uint8),
+                                     dcam.width, dcam.height).astype(bool)
+        dframe = self._densify_frame(t) if self.sep_densify else frame
+        dc = densify_candidates_stream(quat, trans, dframe, dcam,
+                                       jnp.asarray(np_mask & e_mask))
+        parts.append((dc.points, dc.colors, dc.mean3_sq_dist, dc.keep))
+
+        n_new = int(jnp.sum(parts[0][3])) + int(jnp.sum(parts[1][3]))
+        need = int(sec.n_active) + n_new
+        if need > sec.capacity:
+            sec = G.repad_section(sec, G.round_capacity(need, self.quantum))
+        for pts, cols, msq, keep in parts:
+            sec = G.append_gaussians(sec, pts, cols, msq, keep, float(t))
+        self.sections[bf_idx] = sec
+        self.num_gs_per_frame_ls.append(n_new)
+        return n_new
+
+    # ------------------------------------------------------------------
+    def _map(self, t, frame):
+        """Mapping phase for one frame (:2394-2780)."""
+        cfg = self.config
+        mp = cfg["mapping"]
+        bf_idx = t // self.bfe
+        idx_in = t % self.bfe
+        boundary = idx_in == 0
+        K = jnp.asarray(self.intrinsics, jnp.float32)
+
+        t_start = time.time()
+        # --- mapping overlap selection at boundaries (fixes frozen sections)
+        if boundary and bf_idx != 0:
+            curr_w2c = jnp.asarray(self._traj_w2c_np(t), jnp.float32)
+            if bf_idx == 1:
+                overlap_sec = 0
+            else:
+                if self.dataset_name == "replica":
+                    B = len(self.baseframes) - 1
+                    self.rng, k = jax.random.split(self.rng)
+                    pct = overlap_percents(
+                        frame.depth[0], curr_w2c, K,
+                        self.baseframes.w2cs()[:B], self.baseframes.depths[:B],
+                        k, pixels=1600, edge=cfg["tracking"]["edge"],
+                        use_vis=False)
+                    sel = select_topk_overlap(np.asarray(pct), 1)
+                    overlap_sec = (self.baseframes.ids[sel[-1]] // self.bfe
+                                   if sel else 0)
+                else:
+                    ignore = int(self.bfe / cfg["overlap_every"])
+                    pool = max(len(self.baseframes) - ignore, 1)
+                    self.rng, k = jax.random.split(self.rng)
+                    pct = overlap_percents(
+                        frame.depth[0], curr_w2c, K,
+                        self.baseframes.w2cs()[:pool],
+                        self.baseframes.depths[:pool],
+                        k, pixels=0, edge=cfg["tracking"]["edge"], use_vis=True,
+                        kf_depth_thresh=cfg["tracking"]["kf_depth_thresh"])
+                    sel, _ = select_visbased(np.asarray(pct), 1)
+                    overlap_sec = (self.baseframes.ids[sel[0]] // self.bfe
+                                   if sel else 0)
+            self.fixed_section_ids = (overlap_sec, bf_idx - 1)
+            self.mapping_corr.append(
+                [overlap_sec * self.bfe, (bf_idx - 1) * self.bfe, t])
+
+        use_global = bf_idx != 0 and self.fixed_section_ids is not None
+        sec = self.sections[bf_idx]
+
+        if use_global:
+            fixed, _ = G.concat_sections(
+                [self.sections[i] for i in self.fixed_section_ids],
+                quantum=self.quantum)
+            fixed_params, fixed_active = fixed.params, fixed.active_mask()
+        else:
+            # 1-capacity dummy so jit signatures stay small
+            dummy = G.init_section(
+                jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.ones((1,)), 0, 1,
+                0.0, 1.0, isotropic=sec.params.isotropic)
+            fixed_params, fixed_active = dummy.params, dummy.active_mask()
+
+        # --- keyframe buffer
+        if boundary:
+            ids = jnp.asarray([t], jnp.int32)
+            colors = frame.color[None]
+            depths = frame.depth[None]
+            count = 1
+            B = 1
+        else:
+            B = self.bfe
+            start = bf_idx * self.bfe
+            ids = jnp.asarray(start + np.arange(B), jnp.int32)
+            colors = self.ring_colors
+            depths = self.ring_depths
+            count = idx_in + 1
+        kf = KeyframeBuffer(
+            colors=colors, depths=depths,
+            quats=self.traj.quats[ids], trans=self.traj.trans[ids],
+            frame_ids=ids, count=jnp.asarray(count, jnp.int32))
+
+        mcfg = MappingConfig(
+            num_iters=mp["num_iters"],
+            lrs=tuple(sorted(
+                (k, float(v)) for k, v in mp["lrs"].items()
+                if k not in ("cam_unnorm_rots", "cam_trans"))),
+            loss_cfg=self._loss_cfg(False),
+            use_global=use_global,
+            baseframe_every=self.bfe,
+        )
+        self.rng, k = jax.random.split(self.rng)
+        new_params = map_frame(sec.params, sec.active_mask(), fixed_params,
+                               fixed_active, kf, k, self.cam, mcfg)
+        new_params.means3d.block_until_ready()
+        self.sections[bf_idx] = sec.replace(params=new_params)
+
+        dt = time.time() - t_start
+        self.stats["mapping_frame_time_sum"] += dt
+        self.stats["mapping_frame_count"] += 1
+        self.stats["mapping_iter_time_sum"] += dt
+        self.stats["mapping_iter_count"] += max(mp["num_iters"], 1)
+
+    # ------------------------------------------------------------------
+    def _new_base_section(self, t, frame, color_np):
+        """Spawn the view-tied section for a boundary frame (:2244-2268)."""
+        w2c = jnp.asarray(self._traj_w2c_np(t), jnp.float32)
+        pts, cols, msq, keep = base_frame_pointcloud(frame, self.cam, w2c)
+        parts = [(pts, cols, msq, keep)]
+        edge = self._edge_mask_for(color_np, self.densify_cam.width,
+                                   self.densify_cam.height)
+        dframe = self._densify_frame(t) if self.sep_densify else frame
+        dcam = self.densify_cam if self.sep_densify else self.cam
+        dmask = edge if self.sep_densify else self._edge_mask_for(
+            color_np, self.cam.width, self.cam.height)
+        dpts, dcols, dmsq, dkeep = base_frame_pointcloud(
+            dframe, dcam, w2c, mask=jnp.asarray(dmask))
+        parts.append((dpts, dcols, dmsq, dkeep))
+        self._new_section_from_parts(parts, timestep=float(t),
+                                     depth_max=float(jnp.max(frame.depth)))
+
+    # ------------------------------------------------------------------
+    def process_frame(self, t: int):
+        cfg = self.config
+        color_np, depth_np, _, gt_pose = self.dataset[t]
+        frame = self._stage(color_np, depth_np)
+        gt_w2c = np.linalg.inv(np.asarray(gt_pose, np.float64))
+        self.gt_w2c.append(gt_w2c)
+        bf_idx = t // self.bfe
+        idx_in = t % self.bfe
+        boundary = idx_in == 0
+
+        # tracking
+        if t > 0 and not cfg["tracking"]["use_gt_poses"]:
+            self._track(t, frame, color_np)
+        elif t > 0:
+            quat, trans = geo.w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
+            self.traj = self.traj.replace(
+                quats=self.traj.quats.at[t].set(quat),
+                trans=self.traj.trans.at[t].set(trans))
+
+        # section spawn at boundaries
+        if t > 0 and boundary:
+            self._new_base_section(t, frame, color_np)
+
+        self._ring_write(idx_in, frame)
+
+        # densification + mapping
+        if t == 0 or (t + 1) % cfg["map_every"] == 0:
+            if cfg["mapping"]["add_new_gaussians"] and t > 0 and not boundary:
+                edge_np = self._edge_mask_for(color_np, self.cam.width,
+                                              self.cam.height)
+                self._densify(t, frame, edge_np)
+            if cfg["mapping"]["num_iters"] > 0:
+                self._map(t, frame)
+
+        # keyframe/baseframe bookkeeping (:2783-2818)
+        if ((t == 0 or (t + 1) % cfg["keyframe_every"] == 0
+             or t == self.num_frames - 2)
+                and not np.isinf(gt_w2c).any() and not np.isnan(gt_w2c).any()):
+            is_base = (self.dataset_name == "replica" and boundary) or (
+                self.dataset_name != "replica"
+                and t % cfg["overlap_every"] == 0)
+            if is_base:
+                self.baseframes.append(
+                    t, frame.depth[0], self.traj.quats[t], self.traj.trans[t])
+
+    def run(self, progress=True):
+        it = range(1, self.num_frames)
+        if progress:
+            try:
+                from tqdm import tqdm
+                it = tqdm(it, desc="SLAM")
+            except ImportError:
+                pass
+        # frame 0 mapping
+        self.process_frame_zero()
+        for t in it:
+            self.process_frame(t)
+        return self
+
+    def process_frame_zero(self):
+        """Frame 0: no tracking; map the freshly initialized section."""
+        self.baseframes.append(0, self._frame0.depth[0], self.traj.quats[0],
+                               self.traj.trans[0])
+        if self.config["mapping"]["num_iters"] > 0:
+            self._map(0, self._frame0)
+
+    # ------------------------------------------------------------------
+    def export_params_ls(self) -> list[dict]:
+        return [G.section_to_numpy_params(s, self.traj) for s in self.sections]
+
+    def final_stats(self) -> dict:
+        s = self.stats
+        return {
+            "avg_tracking_iter_ms": 1000 * s["tracking_iter_time_sum"]
+            / max(s["tracking_iter_count"], 1),
+            "avg_tracking_frame_s": s["tracking_frame_time_sum"]
+            / max(s["tracking_frame_count"], 1),
+            "avg_mapping_iter_ms": 1000 * s["mapping_iter_time_sum"]
+            / max(s["mapping_iter_count"], 1),
+            "avg_mapping_frame_s": s["mapping_frame_time_sum"]
+            / max(s["mapping_frame_count"], 1),
+            "num_gaussians": sum(int(sec.n_active) for sec in self.sections),
+        }
+
+
+def rgbd_slam(config: dict) -> VTGaussianSLAM:
+    """Public entry point, signature parity with the reference
+    (/root/reference/src/vtgaussian_slam.py:1198)."""
+    engine = VTGaussianSLAM(config)
+    engine.run()
+    return engine

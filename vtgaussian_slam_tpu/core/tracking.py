@@ -1,0 +1,144 @@
+"""Camera tracking: the whole per-frame optimization loop as ONE jit.
+
+TPU redesign of the reference tracking loop
+(/root/reference/src/vtgaussian_slam.py:1666-2277). The reference runs a
+Python while-loop doing per-iteration CUDA renders, host-side `.item()`
+syncs, and (at section boundaries) Open3D CPU round-trips. Here the full
+`num_iters` loop — loss+grad through the rasterizer, a fresh per-frame Adam
+on (cam quat, cam trans), per-iteration candidate selection by loss or the
+jit-resident point-to-plane metric — runs inside a single `lax.fori_loop`
+with zero host syncs.
+
+Reference semantics kept:
+- fresh Adam per frame, only camera lrs nonzero (:180-187, :1678)
+- candidate pose = post-step pose; metric is the PRE-step loss on
+  non-boundary frames, the post-step overlap point-to-plane distance on
+  boundary frames (:1893-1970, :2117-2199)
+- replica adaptive silhouette threshold chosen at iteration 0 and reused
+  (:472-510), carried through the loop as a traced scalar
+- final (im, depth) losses returned for the `use_depth_loss_thres`
+  iteration-doubling decision, made on host between jit calls (:2218-2229)
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models.gaussians import GaussianParams
+from ..ops.camera import Camera
+from .losses import Frame, LossConfig, compute_loss
+from .p2p import P2PTarget, point2plane_metric
+
+
+class TrackingConfig(NamedTuple):
+    """Static per-phase tracking configuration."""
+    num_iters: int
+    lr_quat: float
+    lr_trans: float
+    metric: str            # "loss" | "p2p"
+    p2p_method: str        # "sum" | "max" | "max100"
+    loss_cfg: LossConfig   # tracking=True inside
+
+
+@struct.dataclass
+class TrackState:
+    quat: jnp.ndarray
+    trans: jnp.ndarray
+    m: jnp.ndarray         # Adam first moment, (7,) = [quat, trans]
+    v: jnp.ndarray         # Adam second moment
+    count: jnp.ndarray
+    best_quat: jnp.ndarray
+    best_trans: jnp.ndarray
+    min_metric: jnp.ndarray
+    min_loss: jnp.ndarray      # min over iterations of the raw loss
+    sil_thres: jnp.ndarray
+    im_loss: jnp.ndarray       # last-iteration losses
+    depth_loss: jnp.ndarray
+
+
+def init_track_state(quat: jnp.ndarray, trans: jnp.ndarray,
+                     sil_thres: float) -> TrackState:
+    f32 = quat.dtype
+    z7 = jnp.zeros((7,), f32)
+    big = jnp.asarray(1e20, f32)
+    return TrackState(
+        quat=quat, trans=trans, m=z7, v=z7,
+        count=jnp.zeros((), jnp.int32),
+        best_quat=quat, best_trans=trans,
+        min_metric=big, min_loss=big,
+        sil_thres=jnp.asarray(sil_thres, f32),
+        im_loss=jnp.zeros((), f32), depth_loss=jnp.zeros((), f32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def track_frame(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    state: TrackState,
+    frame: Frame,
+    aux_mask: jnp.ndarray,        # (H, W) bool; all-True when unused
+    p2p_target: P2PTarget,
+    cam: Camera,
+    cfg: TrackingConfig,
+) -> TrackState:
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    lr = jnp.concatenate([
+        jnp.full((4,), cfg.lr_quat), jnp.full((3,), cfg.lr_trans)
+    ]).astype(state.quat.dtype)
+
+    def loss_fn(quat, trans, sil_thres, is_first):
+        out = compute_loss(params, active, quat, trans, frame, cam,
+                           cfg.loss_cfg, sil_thres, is_first, aux_mask)
+        return out.loss, out
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def body(i, s: TrackState) -> TrackState:
+        (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres, i == 0)
+
+        # fresh-per-frame Adam on the 7 pose dofs (torch semantics)
+        g = jnp.concatenate([gq, gt])
+        count = s.count + 1
+        t = count.astype(loss.dtype)
+        m = b1 * s.m + (1 - b1) * g
+        v = b2 * s.v + (1 - b2) * g * g
+        upd = lr * (m / (1 - b1**t)) / (jnp.sqrt(v / (1 - b2**t)) + eps)
+        pose = jnp.concatenate([s.quat, s.trans]) - upd
+        new_quat, new_trans = pose[:4], pose[4:]
+
+        if cfg.metric == "loss":
+            metric = loss  # pre-step loss, post-step candidate (reference order)
+        else:
+            from ..ops import geometry as geo
+            w2c = geo.pose_to_w2c(geo.normalize(new_quat), new_trans)
+            metric = point2plane_metric(
+                p2p_target, frame.depth, jnp.asarray(cam.intrinsics), w2c,
+                method=cfg.p2p_method)
+
+        better = metric < s.min_metric
+        return TrackState(
+            quat=new_quat, trans=new_trans, m=m, v=v, count=count,
+            best_quat=jnp.where(better, new_quat, s.best_quat),
+            best_trans=jnp.where(better, new_trans, s.best_trans),
+            min_metric=jnp.minimum(metric, s.min_metric),
+            min_loss=jnp.minimum(loss, s.min_loss),
+            sil_thres=out.sil_thres_out,
+            im_loss=out.im_loss, depth_loss=out.depth_loss,
+        )
+
+    return jax.lax.fori_loop(0, cfg.num_iters, body, state)
+
+
+def probe_loss(params, active, quat, trans, frame, cam, cfg: LossConfig,
+               sil_thres: float, aux_mask):
+    """Single loss evaluation (no step) — the scannetpp initial-error probe
+    (/root/reference/src/vtgaussian_slam.py:1467-1484)."""
+    out = compute_loss(params, active, jnp.asarray(quat), jnp.asarray(trans),
+                       frame, cam, cfg, jnp.asarray(sil_thres, jnp.float32),
+                       jnp.asarray(True), aux_mask)
+    return out.im_loss, out.depth_loss

@@ -1,0 +1,98 @@
+"""SSIM / MS-SSIM in pure JAX.
+
+- `ssim`: 11x11 Gaussian-window SSIM matching `calc_ssim`
+  (/root/reference/utils/slam_external.py:54-97): sigma 1.5, same padding,
+  C1 = 0.01^2, C2 = 0.03^2, per-channel depthwise convolution, mean-reduced.
+  Used in the mapping color loss 0.8*L1 + 0.2*(1-SSIM)
+  (/root/reference/src/vtgaussian_slam.py:608).
+- `ms_ssim`: 5-scale multi-scale SSIM with the standard weights, matching
+  pytorch_msssim.ms_ssim as used in eval (/root/reference/utils/eval_helpers.py:453).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=4)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray, padding: str) -> jnp.ndarray:
+    """img (C, H, W) -> per-channel 2D convolution with `window` (k, k)."""
+    C = img.shape[0]
+    kernel = jnp.asarray(window)[None, None].repeat(C, 0)  # (C, 1, k, k)
+    return jax.lax.conv_general_dilated(
+        img[None],
+        kernel,
+        window_strides=(1, 1),
+        padding=padding,
+        feature_group_count=C,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]
+
+
+def _ssim_terms(img1, img2, window, padding):
+    mu1 = _depthwise_conv(img1, window, padding)
+    mu2 = _depthwise_conv(img2, window, padding)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _depthwise_conv(img1 * img1, window, padding) - mu1_sq
+    s2 = _depthwise_conv(img2 * img2, window, padding) - mu2_sq
+    s12 = _depthwise_conv(img1 * img2, window, padding) - mu12
+    c1, c2 = 0.01**2, 0.03**2
+    cs = (2 * s12 + c2) / (s1 + s2 + c2)
+    lum = (2 * mu12 + c1) / (mu1_sq + mu2_sq + c1)
+    return lum * cs, cs
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5) -> jnp.ndarray:
+    """Mean SSIM over a (C, H, W) image pair (reference: same padding)."""
+    window = _gaussian_window(window_size, sigma)
+    pad = window_size // 2
+    ssim_map, _ = _ssim_terms(img1, img2, window,
+                              [(pad, pad), (pad, pad)])
+    return jnp.mean(ssim_map)
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+            sigma: float = 1.5, data_range: float = 1.0) -> jnp.ndarray:
+    """Multi-scale SSIM on (C, H, W), pytorch_msssim semantics:
+    VALID-padded windows, 2x average-pool downsampling (with reflect-free
+    padding on odd sizes), relu-clamped cs terms."""
+    img1 = img1 / data_range
+    img2 = img2 / data_range
+    window = _gaussian_window(window_size, sigma)
+    levels = len(_MSSSIM_WEIGHTS)
+    # auto-reduce scales for small images (pytorch_msssim asserts
+    # min_side > (win-1) * 2^(levels-1) instead; we degrade gracefully)
+    min_side = min(img1.shape[1], img1.shape[2])
+    while levels > 1 and (min_side >> (levels - 1)) < window_size:
+        levels -= 1
+    mcs = []
+    x, y = img1, img2
+    for i in range(levels):
+        ssim_map, cs_map = _ssim_terms(x, y, window, "VALID")
+        if i < levels - 1:
+            mcs.append(jax.nn.relu(jnp.mean(cs_map)))
+            pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
+            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
+            x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
+                                      "VALID") / 4.0
+            y = jax.lax.reduce_window(y, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
+                                      "VALID") / 4.0
+    msv = jax.nn.relu(jnp.mean(ssim_map))
+    out = msv ** _MSSSIM_WEIGHTS[levels - 1]
+    for w, c in zip(_MSSSIM_WEIGHTS[: levels - 1], mcs):
+        out = out * c**w
+    return out

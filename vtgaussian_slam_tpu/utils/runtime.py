@@ -1,0 +1,26 @@
+"""Process-level JAX runtime setup.
+
+Single-core hosts pay heavily for XLA compiles; the persistent compilation
+cache makes every run after the first start hot. Called once by the CLI and
+bench entry points (safe to call multiple times).
+"""
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "VTGS_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "vtgs_jax"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # older jax without these flags

@@ -1,0 +1,6 @@
+"""Replica office0 scene config (reference schema; see configs/common.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from configs.common import make_config
+
+config = make_config("replica", "office0", seed=2)

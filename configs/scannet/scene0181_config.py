@@ -1,0 +1,6 @@
+"""ScanNet scene0181_00 scene config (reference schema; see configs/common.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from configs.common import make_config
+
+config = make_config("scannet", "scene0181_00", seed=2)

@@ -1,0 +1,6 @@
+"""ScanNet++ fb05e13ad1 scene config (reference schema; see configs/common.py)."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+from configs.common import make_config
+
+config = make_config("scannetpp", "fb05e13ad1", seed=2, num_frames=250)

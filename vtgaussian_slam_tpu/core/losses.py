@@ -87,9 +87,11 @@ def render_slam(
     colors6 = jnp.concatenate(
         [params.rgb_colors, jnp.stack([z, jnp.ones_like(z), z * z], -1)], axis=1)
 
+    # pass raw (N,1)|(N,3) scales: projection takes the isotropic fast path
+    # (no rotation math) when scales are (N,1)
     img6, radii = render_tiled(
-        means_cam, quats, params.scales3(), params.opacities(), colors6, cam,
-        active, **(backend_kwargs or {}))
+        means_cam, quats, jnp.exp(params.log_scales), params.opacities(),
+        colors6, cam, active, **(backend_kwargs or {}))
     return RenderResult(
         im=img6[:3],
         depth=img6[3:4],

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..camera import Camera
-from ..geometry import normalize, quat_to_rotmat
+from ..geometry import normalize
 
 # Near-plane cull threshold used by the Inria-lineage CUDA rasterizer's
 # preprocess step (p_view.z <= 0.2 -> cull), independent of Camera.near.
@@ -73,11 +73,6 @@ def project_gaussians(
     tx = jnp.clip(x / z_safe, -limx, limx) * z_safe
     ty = jnp.clip(y / z_safe, -limy, limy) * z_safe
 
-    # 3D covariance Sigma = M M^T with M = R @ diag(s)
-    R = quat_to_rotmat(normalize(quats))          # (N, 3, 3)
-    M = R * scales[:, None, :]                    # scale columns
-    cov3d = M @ jnp.swapaxes(M, 1, 2)             # (N, 3, 3)
-
     # J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
@@ -86,19 +81,44 @@ def project_gaussians(
     j11 = cam.fy * inv_z
     j12 = -cam.fy * ty * inv_z2
 
-    # cov2d = J cov3d J^T, expanded (J has sparsity pattern above)
-    c00, c01, c02 = cov3d[:, 0, 0], cov3d[:, 0, 1], cov3d[:, 0, 2]
-    c11, c12, c22 = cov3d[:, 1, 1], cov3d[:, 1, 2], cov3d[:, 2, 2]
-    # row0 = j00 * cov[0,:] + j02 * cov[2,:]
-    r0x = j00 * c00 + j02 * c02
-    r0y = j00 * c01 + j02 * c12
-    r0z = j00 * c02 + j02 * c22
-    r1x = j11 * c01 + j12 * c02
-    r1y = j11 * c11 + j12 * c12
-    r1z = j11 * c12 + j12 * c22
-    v00 = r0x * j00 + r0z * j02 + COV2D_DILATION
-    v01 = r0y * j11 + r0z * j12
-    v11 = r1y * j11 + r1z * j12 + COV2D_DILATION
+    if scales.shape[1] == 1:
+        # isotropic fast path: Sigma3D = s^2 I  =>  cov2d = s^2 * J J^T.
+        # No rotation math at all — the SLAM configs are all isotropic
+        # (configs/replica/room0.py:28). Fully elementwise: TPU-VPU friendly.
+        s2 = scales[:, 0] * scales[:, 0]
+        v00 = s2 * (j00 * j00 + j02 * j02) + COV2D_DILATION
+        v01 = s2 * (j02 * j12)
+        v11 = s2 * (j11 * j11 + j12 * j12) + COV2D_DILATION
+    else:
+        # anisotropic: Sigma = M M^T with M = R diag(s), fully expanded as
+        # elementwise (N,) vector ops — batched (N,3,3) matmuls are
+        # pathological on the MXU (3x3 tiles on a 128x128 systolic array).
+        q = normalize(quats)
+        r, xq, yq, zq = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        R00 = 1 - 2 * (yq * yq + zq * zq)
+        R01 = 2 * (xq * yq - r * zq)
+        R02 = 2 * (xq * zq + r * yq)
+        R10 = 2 * (xq * yq + r * zq)
+        R11 = 1 - 2 * (xq * xq + zq * zq)
+        R12 = 2 * (yq * zq - r * xq)
+        R20 = 2 * (xq * zq - r * yq)
+        R21 = 2 * (yq * zq + r * xq)
+        R22 = 1 - 2 * (xq * xq + yq * yq)
+        s0, s1, s2_ = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
+        c00 = s0 * R00 * R00 + s1 * R01 * R01 + s2_ * R02 * R02
+        c01 = s0 * R00 * R10 + s1 * R01 * R11 + s2_ * R02 * R12
+        c02 = s0 * R00 * R20 + s1 * R01 * R21 + s2_ * R02 * R22
+        c11 = s0 * R10 * R10 + s1 * R11 * R11 + s2_ * R12 * R12
+        c12 = s0 * R10 * R20 + s1 * R11 * R21 + s2_ * R12 * R22
+        c22 = s0 * R20 * R20 + s1 * R21 * R21 + s2_ * R22 * R22
+        r0x = j00 * c00 + j02 * c02
+        r0y = j00 * c01 + j02 * c12
+        r0z = j00 * c02 + j02 * c22
+        r1y = j11 * c11 + j12 * c12
+        r1z = j11 * c12 + j12 * c22
+        v00 = r0x * j00 + r0z * j02 + COV2D_DILATION
+        v01 = r0y * j11 + r0z * j12
+        v11 = r1y * j11 + r1z * j12 + COV2D_DILATION
 
     det = v00 * v11 - v01 * v01
     valid = valid & (det > 0)

@@ -46,7 +46,8 @@ def main():
     N_FRAMES = 3                  # timed frames (after compile warmup)
     BASELINE_ITERS_PER_SEC = 25.0
 
-    backend = dict(span_cap=3, max_pairs_per_tile=1024, chunk=128)
+    backend = dict(span_cap=3, max_pairs_per_tile=512, chunk=128,
+                   use_pallas=True)
     bk = tuple(sorted(backend.items()))
 
     ds = SyntheticRoomDataset(num_frames=N_FRAMES + 2, height=H, width=W,

@@ -209,3 +209,34 @@ class TestTileBoundaries:
                                 max_pairs_per_tile=128, chunk=32)
         assert img_t.shape == (3, 50, 70)
         np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_d), atol=2e-4)
+
+
+class TestPallasPath:
+    def test_pallas_matches_xla_blend(self):
+        means, quats, scales, opac, colors = make_scene(jax.random.PRNGKey(2))
+        img_x, rad_x = render_tiled(means, quats, scales, opac, colors, CAM,
+                                    max_pairs_per_tile=128, chunk=32)
+        img_p, rad_p = render_tiled(means, quats, scales, opac, colors, CAM,
+                                    max_pairs_per_tile=128, chunk=32,
+                                    use_pallas=True)
+        np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(rad_p), np.asarray(rad_x))
+
+    def test_pallas_gradients_match(self):
+        means, quats, scales, opac, colors = make_scene(jax.random.PRNGKey(4),
+                                                        n=64)
+
+        def loss(use_pallas):
+            def f(m, o, c):
+                img, _ = render_tiled(m, quats, scales, o, c, CAM,
+                                      max_pairs_per_tile=64, chunk=32,
+                                      use_pallas=use_pallas)
+                return jnp.sum(img ** 2)
+            return f
+
+        g_x = jax.grad(loss(False), argnums=(0, 1, 2))(means, opac, colors)
+        g_p = jax.grad(loss(True), argnums=(0, 1, 2))(means, opac, colors)
+        for a, b in zip(g_x, g_p):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-4, rtol=1e-4)

@@ -147,10 +147,15 @@ class VTGaussianSLAM:
             self.num_frames = len(self.dataset)
         self.bfe = cfg["baseframe_every"]
         self.quantum = cfg["tpu"]["capacity_quantum"]
+        # Pallas blend kernel on real accelerators; XLA blend on CPU (where
+        # the kernel would run in the slow interpreter)
+        use_pallas = cfg["tpu"].get("use_pallas",
+                                    jax.default_backend() != "cpu")
         self.backend_kwargs = tuple(sorted({
             "span_cap": cfg["tpu"]["span_cap"],
             "max_pairs_per_tile": cfg["tpu"]["max_pairs_per_tile"],
             "chunk": cfg["tpu"]["blend_chunk"],
+            "use_pallas": use_pallas,
         }.items()))
 
         # cameras

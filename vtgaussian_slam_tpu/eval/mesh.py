@@ -1,0 +1,314 @@
+"""TSDF fusion + marching cubes mesh reconstruction (eval-only path).
+
+Replaces the reference's Open3D ScalableTSDFVolume + extract_triangle_mesh
+(/root/reference/utils/eval_helpers.py:633-777) and the trimesh-based mesh
+cleaning (/root/reference/utils/evaluate_reconstruction.py:200-254).
+
+- `TSDFVolume`: dense voxel grid bounded by the observed scene AABB,
+  integrated one RGB-D frame at a time with a jit-compiled projective update
+  (voxel -> camera projection, SDF truncation at `sdf_trunc`, running
+  weighted average). Reference parameters: voxel_length 5/512, sdf_trunc
+  0.04, depth_trunc 16 (:644-656).
+- `marching_cubes`: single-pass numpy implementation over the fused grid
+  (the classic 15-case edge/triangle tables), host-side — mesh extraction is
+  a one-shot postprocess, not a hot path.
+- `clean_mesh`: drop connected components with < min_faces triangles.
+- `accuracy_completion`: point-sampled accuracy/completion between meshes
+  (scipy cKDTree), the metric pair of `evaluate_3d_reconstruction`.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+try:
+    import jax
+    import jax.numpy as jnp
+except ImportError:  # pragma: no cover
+    jax = None
+
+
+class TSDFVolume:
+    def __init__(self, bounds_min, bounds_max, voxel_length: float = 5.0 / 512,
+                 sdf_trunc: float = 0.04, depth_trunc: float = 16.0):
+        self.origin = np.asarray(bounds_min, np.float32)
+        self.voxel = float(voxel_length)
+        self.trunc = float(sdf_trunc)
+        self.depth_trunc = float(depth_trunc)
+        dims = np.ceil((np.asarray(bounds_max) - self.origin) / self.voxel
+                       ).astype(int) + 1
+        self.dims = tuple(int(d) for d in dims)
+        self.tsdf = jnp.ones(self.dims, jnp.float32)
+        self.weight = jnp.zeros(self.dims, jnp.float32)
+        self.color = jnp.zeros(self.dims + (3,), jnp.float32)
+
+    def integrate(self, color, depth, intrinsics, w2c):
+        """color (H,W,3) [0,1], depth (H,W) meters, w2c 4x4."""
+        self.tsdf, self.weight, self.color = _integrate(
+            self.tsdf, self.weight, self.color,
+            jnp.asarray(color, jnp.float32), jnp.asarray(depth, jnp.float32),
+            jnp.asarray(intrinsics, jnp.float32), jnp.asarray(w2c, jnp.float32),
+            jnp.asarray(self.origin), self.voxel, self.trunc, self.depth_trunc)
+
+    def extract_mesh(self):
+        tsdf = np.asarray(self.tsdf)
+        w = np.asarray(self.weight)
+        tsdf = np.where(w > 0, tsdf, np.nan)
+        verts, faces = marching_cubes(tsdf, level=0.0)
+        verts_world = verts * self.voxel + self.origin
+        return verts_world, faces
+
+    def vertex_colors(self, verts_world: np.ndarray) -> np.ndarray:
+        """Nearest-voxel color lookup for world-space vertices."""
+        idx = np.round((verts_world - self.origin) / self.voxel).astype(int)
+        idx = np.clip(idx, 0, np.array(self.dims) - 1)
+        return np.asarray(self.color)[idx[:, 0], idx[:, 1], idx[:, 2]]
+
+
+@functools.partial(jax.jit, static_argnames=("voxel", "trunc", "depth_trunc"))
+def _integrate(tsdf, weight, color_vol, color, depth, K, w2c, origin,
+               voxel, trunc, depth_trunc):
+    dims = tsdf.shape
+    H, W = depth.shape
+    ii, jj, kk = jnp.meshgrid(*(jnp.arange(d) for d in dims), indexing="ij")
+    pts = origin + voxel * jnp.stack([ii, jj, kk], -1).astype(jnp.float32)
+    pc = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    z = pc[..., 2]
+    u = K[0, 0] * pc[..., 0] / jnp.maximum(z, 1e-6) + K[0, 2]
+    v = K[1, 1] * pc[..., 1] / jnp.maximum(z, 1e-6) + K[1, 2]
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    inb = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
+    uc = jnp.clip(ui, 0, W - 1)
+    vc = jnp.clip(vi, 0, H - 1)
+    d = depth[vc, uc]
+    valid = inb & (d > 0) & (d < depth_trunc)
+    sdf = d - z
+    valid = valid & (sdf > -trunc)
+    tsdf_new = jnp.clip(sdf / trunc, -1.0, 1.0)
+    w_new = jnp.where(valid, 1.0, 0.0)
+    w_tot = weight + w_new
+    tsdf_out = jnp.where(
+        w_tot > 0, (tsdf * weight + tsdf_new * w_new) / jnp.maximum(w_tot, 1),
+        tsdf)
+    c = color[vc, uc]
+    color_out = jnp.where(
+        (w_tot > 0)[..., None],
+        (color_vol * weight[..., None] + c * w_new[..., None])
+        / jnp.maximum(w_tot, 1)[..., None],
+        color_vol)
+    return tsdf_out, w_tot, color_out
+
+
+# ---------------------------------------------------------------------------
+# Marching cubes (classic Lorensen & Cline tables, public domain constants)
+# ---------------------------------------------------------------------------
+_EDGE_SPEC = [  # edge -> (corner a, corner b)
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7),
+]
+_CORNER = np.array([
+    [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+])
+
+
+@functools.lru_cache(maxsize=1)
+def _tri_table():
+    """Generate the 256-case triangle table from the 15 base cases by
+    symmetry is error-prone; instead assemble it procedurally: for each case,
+    triangulate the iso-surface polygon inside the cube by splitting each
+    surface crossing into triangles via a marching-tetrahedra decomposition
+    (6 tets per cube). Slightly more triangles than classic MC, but
+    table-free and watertight."""
+    # tetrahedra (corner indices) decomposing the cube
+    tets = np.array([
+        [0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
+        [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6],
+    ])
+    return tets
+
+
+def marching_cubes(volume: np.ndarray, level: float = 0.0):
+    """Extract the iso-surface of `volume` (3-D, NaN = unobserved) at
+    `level` using marching tetrahedra. Returns (verts [M,3] in voxel
+    coordinates, faces [F,3])."""
+    vol = volume
+    nx, ny, nz = vol.shape
+    finite = np.isfinite(vol)
+
+    # candidate cells: all 8 corners observed and sign change present
+    c = np.zeros((nx - 1, ny - 1, nz - 1), bool)
+    vmin = np.full(c.shape, np.inf)
+    vmax = np.full(c.shape, -np.inf)
+    ok = np.ones(c.shape, bool)
+    for dx, dy, dz in _CORNER:
+        sub = vol[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]
+        okc = finite[dx:nx - 1 + dx, dy:ny - 1 + dy, dz:nz - 1 + dz]
+        ok &= okc
+        vmin = np.minimum(vmin, np.where(okc, sub, np.inf))
+        vmax = np.maximum(vmax, np.where(okc, sub, -np.inf))
+    cells = np.argwhere(ok & (vmin <= level) & (vmax >= level))
+    if len(cells) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), int)
+
+    corner_vals = np.stack(
+        [vol[cells[:, 0] + dx, cells[:, 1] + dy, cells[:, 2] + dz]
+         for dx, dy, dz in _CORNER], -1)  # (M, 8)
+
+    tets = _tri_table()
+    verts_out = []
+    faces_out = []
+    vert_count = 0
+    # process each tetrahedron type over all candidate cells (vectorized)
+    for tet in tets:
+        tv = corner_vals[:, tet]                      # (M, 4)
+        inside = tv < level                           # (M, 4)
+        code = (inside * np.array([1, 2, 4, 8])).sum(-1)
+        # edge interpolation helper
+        tp = _CORNER[tet].astype(np.float64)          # (4, 3)
+
+        def interp(sel, i, j):
+            a = tv[sel, i]
+            b = tv[sel, j]
+            t = (level - a) / np.where(np.abs(b - a) < 1e-12, 1e-12, b - a)
+            t = np.clip(t, 0.0, 1.0)[:, None]
+            base = cells[sel].astype(np.float64)
+            return base + tp[i] + t * (tp[j] - tp[i])
+
+        # marching tetrahedra cases
+        for cases, tris in _MT_CASES.items():
+            sel = code == cases
+            if not sel.any():
+                continue
+            for tri in tris:
+                vs = [interp(sel, i, j) for (i, j) in tri]
+                n = vs[0].shape[0]
+                verts_out.extend(vs)
+                base = vert_count
+                idx = np.arange(n)
+                faces_out.append(
+                    np.stack([base + idx, base + n + idx, base + 2 * n + idx],
+                             -1))
+                vert_count += 3 * n
+    if not verts_out:
+        return np.zeros((0, 3)), np.zeros((0, 3), int)
+    verts = np.concatenate(verts_out)
+    faces = np.concatenate(faces_out)
+    # weld duplicate vertices
+    key = np.round(verts / 1e-6).astype(np.int64)
+    _, uniq_idx, inv = np.unique(key, axis=0, return_index=True,
+                                 return_inverse=True)
+    return verts[uniq_idx], inv[faces]
+
+
+# marching tetrahedra case table: code (bitmask of corners < level) ->
+# list of triangles, each triangle a list of edges (corner index pairs)
+_MT_CASES = {
+    1: [[(0, 1), (0, 2), (0, 3)]],
+    2: [[(1, 0), (1, 3), (1, 2)]],
+    3: [[(0, 2), (0, 3), (1, 3)], [(0, 2), (1, 3), (1, 2)]],
+    4: [[(2, 0), (2, 1), (2, 3)]],
+    5: [[(0, 1), (2, 1), (0, 3)], [(2, 1), (2, 3), (0, 3)]],
+    6: [[(1, 0), (2, 0), (1, 3)], [(2, 0), (2, 3), (1, 3)]],
+    7: [[(0, 3), (1, 3), (2, 3)]],
+    8: [[(3, 0), (3, 2), (3, 1)]],
+    9: [[(0, 1), (0, 2), (3, 2)], [(0, 1), (3, 2), (3, 1)]],
+    10: [[(1, 0), (3, 0), (1, 2)], [(3, 0), (3, 2), (1, 2)]],
+    11: [[(0, 2), (3, 2), (1, 2)]],
+    12: [[(2, 0), (2, 1), (3, 1)], [(2, 0), (3, 1), (3, 0)]],
+    13: [[(0, 1), (2, 1), (3, 1)]],
+    14: [[(1, 0), (2, 0), (3, 0)]],
+}
+
+
+def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_faces: int = 200):
+    """Remove connected components with fewer than `min_faces` triangles
+    (reference: evaluate_reconstruction.py:200-254)."""
+    if len(faces) == 0:
+        return verts, faces
+    import scipy.sparse as sp
+
+    n = len(verts)
+    rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+    adj = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    n_comp, labels = sp.csgraph.connected_components(adj, directed=False)
+    face_label = labels[faces[:, 0]]
+    keep_labels = {l for l in range(n_comp)
+                   if (face_label == l).sum() >= min_faces}
+    keep = np.isin(face_label, list(keep_labels))
+    faces = faces[keep]
+    used = np.unique(faces)
+    remap = -np.ones(n, int)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces]
+
+
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
+                   seed: int = 0) -> np.ndarray:
+    """Uniform area-weighted surface sampling."""
+    rng = np.random.default_rng(seed)
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    if area.sum() == 0:
+        return verts[:n] if len(verts) else np.zeros((0, 3))
+    probs = area / area.sum()
+    idx = rng.choice(len(faces), size=n, p=probs)
+    r1 = np.sqrt(rng.uniform(size=(n, 1)))
+    r2 = rng.uniform(size=(n, 1))
+    return (1 - r1) * v0[idx] + r1 * (1 - r2) * v1[idx] + r1 * r2 * v2[idx]
+
+
+def accuracy_completion(rec_verts, rec_faces, gt_verts, gt_faces,
+                        n_samples: int = 200000, seed: int = 0):
+    """(accuracy, completion) in meters: mean NN distance rec->gt and
+    gt->rec over surface samples (evaluate_3d_reconstruction semantics)."""
+    from scipy.spatial import cKDTree
+
+    rp = sample_surface(rec_verts, rec_faces, n_samples, seed)
+    gp = sample_surface(gt_verts, gt_faces, n_samples, seed + 1)
+    acc = cKDTree(gp).query(rp)[0].mean() if len(rp) else np.inf
+    comp = cKDTree(rp).query(gp)[0].mean() if len(gp) else np.inf
+    return float(acc), float(comp)
+
+
+def eval_recon_from_renders(render_fn, poses_w2c, intrinsics, num_frames,
+                            voxel_length: float = 5.0 / 512,
+                            sdf_trunc: float = 0.04,
+                            bounds_pad: float = 0.5):
+    """TSDF-fuse rendered RGB-D at estimated poses and extract the mesh —
+    the `eval_recon` capability (/root/reference/utils/eval_helpers.py:633).
+
+    `render_fn(t) -> (color (H,W,3) [0,1], depth (H,W))`.
+    """
+    # first pass: scene bounds from backprojected depths (subsampled)
+    pts_all = []
+    frames = []
+    for t in range(num_frames):
+        color, depth = render_fn(t)
+        frames.append((np.asarray(color), np.asarray(depth)))
+        H, W = depth.shape
+        ys, xs = np.mgrid[0:H:8, 0:W:8]
+        z = np.asarray(depth)[ys, xs]
+        K = np.asarray(intrinsics)
+        x = (xs - K[0, 2]) / K[0, 0] * z
+        y = (ys - K[1, 2]) / K[1, 1] * z
+        pc = np.stack([x, y, z], -1).reshape(-1, 3)
+        c2w = np.linalg.inv(np.asarray(poses_w2c[t], np.float64))
+        pts = pc @ c2w[:3, :3].T + c2w[:3, 3]
+        pts_all.append(pts[z.reshape(-1) > 0])
+    pts_all = np.concatenate(pts_all)
+    bmin = pts_all.min(0) - bounds_pad
+    bmax = pts_all.max(0) + bounds_pad
+
+    vol = TSDFVolume(bmin, bmax, voxel_length, sdf_trunc)
+    for t in range(num_frames):
+        color, depth = frames[t]
+        vol.integrate(color, depth, np.asarray(intrinsics)[:3, :3],
+                      np.asarray(poses_w2c[t]))
+    verts, faces = vol.extract_mesh()
+    verts, faces = clean_mesh(verts, faces)
+    return verts, faces, vol.vertex_colors(verts)

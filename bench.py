@@ -108,6 +108,10 @@ def main():
         st = init_track_state(jnp.asarray(q), jnp.asarray(tr), 0.999)
         st = track_frame(sec.params, active, st, frame, ones, dummy_p2p, cam,
                          tcfg)
+        st.best_quat.block_until_ready()
+        t1 = time.time()
+        print(f"[bench]   track: {t1 - t0:.2f}s (loss {float(st.min_loss):.1f})",
+              file=sys.stderr)
         kf = KeyframeBuffer(colors=frame.color[None], depths=frame.depth[None],
                             quats=st.best_quat[None], trans=st.best_trans[None],
                             frame_ids=jnp.zeros((1,), jnp.int32),
@@ -115,8 +119,10 @@ def main():
         new_params = map_frame(sec.params, active, dummy.params,
                                dummy.active_mask(), kf,
                                jax.random.fold_in(rng, t), cam, mcfg)
-        jax.block_until_ready((st.best_quat, new_params.means3d))
-        dt = time.time() - t0
+        new_params.means3d.block_until_ready()
+        t2 = time.time()
+        print(f"[bench]   map:   {t2 - t1:.2f}s", file=sys.stderr)
+        dt = t2 - t0
         return sec.replace(params=new_params), dt
 
     # warmup (compile)

@@ -95,3 +95,31 @@ class TestCleanMesh:
         assert pts.shape == (500, 3)
         assert np.all(pts[:, 2] == 0)
         assert np.all(pts[:, 0] + pts[:, 1] <= 1.0 + 1e-9)
+
+
+class TestLPIPS:
+    def test_architecture_with_random_weights(self, tmp_path):
+        import numpy as np
+        from vtgaussian_slam_tpu.eval.lpips import lpips_fn
+
+        rng = np.random.default_rng(0)
+        w = {}
+        chans = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+                 (256, 256, 3)]
+        for i, (ci, co, k) in enumerate(chans):
+            w[f"net.slice.{i}.weight"] = rng.normal(
+                0, 0.05, (co, ci, k, k)).astype(np.float32)
+            w[f"net.slice.{i}.bias"] = np.zeros(co, np.float32)
+        for i, co in enumerate([64, 192, 384, 256, 256]):
+            w[f"lin{i}.model.1.weight"] = np.abs(
+                rng.normal(0, 1, (1, co, 1, 1))).astype(np.float32)
+        f = lpips_fn(w)
+        assert f is not None
+        a = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+        b = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+        assert abs(f(a, a)) < 1e-6
+        assert f(a, b) > 0
+
+    def test_no_weights_returns_none(self):
+        from vtgaussian_slam_tpu.eval.lpips import lpips_fn
+        assert lpips_fn(None) is None or callable(lpips_fn(None))

@@ -713,17 +713,28 @@ class VTGaussianSLAM:
                     t, frame.depth[0], self.traj.quats[t], self.traj.trans[t])
 
     def run(self, progress=True):
-        it = range(1, self.num_frames)
+        cfg = self.config
+        start_t = 1
+        if cfg.get("load_checkpoint"):
+            from ..utils.checkpoint import load_checkpoint
+            start_t = load_checkpoint(
+                self, time_idx=cfg.get("checkpoint_time_idx") or None)
+            print(f"Resumed from checkpoint at frame {start_t - 1}")
+        else:
+            self.process_frame_zero()
+        it = range(start_t, self.num_frames)
         if progress:
             try:
                 from tqdm import tqdm
                 it = tqdm(it, desc="SLAM")
             except ImportError:
                 pass
-        # frame 0 mapping
-        self.process_frame_zero()
         for t in it:
             self.process_frame(t)
+            if (cfg.get("save_checkpoints")
+                    and (t + 1) % cfg.get("checkpoint_interval", 100) == 0):
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(self, t)
         return self
 
     def process_frame_zero(self):

@@ -250,3 +250,107 @@ class AzureKinectDataset(RGBDDataset):
             mats = np.loadtxt(pose_path).reshape(-1, 4, 4)
             return list(mats)
         raise FileNotFoundError(f"no poses_global_dvo.txt in {self.input_folder}")
+
+
+class Ai2thorDataset(RGBDDataset):
+    """color/*.png + depth/*.png + pose/*.txt (ai2thor.py)."""
+
+    def __init__(self, config_dict, basedir, sequence, **kwargs):
+        self.input_folder = os.path.join(basedir, sequence)
+        super().__init__(config_dict, **kwargs)
+
+    def get_filepaths(self):
+        color = natsorted(glob.glob(f"{self.input_folder}/color/*.png"))
+        depth = natsorted(glob.glob(f"{self.input_folder}/depth/*.png"))
+        return color, depth
+
+    def load_poses(self):
+        files = natsorted(glob.glob(f"{self.input_folder}/pose/*.txt"))
+        return [np.loadtxt(f) for f in files]
+
+
+class Record3DDataset(RGBDDataset):
+    """rgb/*.png + depth/*.png + poses/*.npy with OpenGL flip (record3d.py)."""
+
+    def __init__(self, config_dict, basedir, sequence, **kwargs):
+        self.input_folder = os.path.join(basedir, sequence)
+        self.pose_path = os.path.join(self.input_folder, "poses")
+        super().__init__(config_dict, **kwargs)
+
+    def get_filepaths(self):
+        color = natsorted(glob.glob(f"{self.input_folder}/rgb/*.png"))
+        depth = natsorted(glob.glob(f"{self.input_folder}/depth/*.png"))
+        return color, depth
+
+    def load_poses(self):
+        files = natsorted(glob.glob(os.path.join(self.pose_path, "*.npy")))
+        return [_P_FLIP @ np.load(f) @ _P_FLIP.T for f in files]
+
+
+class RealsenseDataset(Record3DDataset):
+    """rgb/*.jpg + depth/*.png + poses/*.npy with OpenGL flip (realsense.py)."""
+
+    def get_filepaths(self):
+        color = natsorted(glob.glob(f"{self.input_folder}/rgb/*.jpg"))
+        depth = natsorted(glob.glob(f"{self.input_folder}/depth/*.png"))
+        return color, depth
+
+
+class NeRFCaptureDataset(RGBDDataset):
+    """transforms.json (NeRFStudio) with rgb/depth paths + OpenGL flip
+    (nerfcapture.py)."""
+
+    def __init__(self, basedir, sequence, **kwargs):
+        self.input_folder = os.path.join(basedir, sequence)
+        meta = json.load(open(f"{self.input_folder}/transforms.json"))
+        self.cams_metadata = meta
+        self.frames_meta = meta["frames"]
+        self._by_name = {fr["file_path"]: fr for fr in self.frames_meta}
+        self.image_names = [fr["file_path"] for fr in self.frames_meta]
+        config_dict = {
+            "dataset_name": "nerfcapture",
+            "camera_params": {
+                "png_depth_scale": 6553.5,
+                "image_height": meta["h"],
+                "image_width": meta["w"],
+                "fx": meta["fl_x"],
+                "fy": meta["fl_y"],
+                "cx": meta["cx"],
+                "cy": meta["cy"],
+            },
+        }
+        super().__init__(config_dict, **kwargs)
+
+    def get_filepaths(self):
+        colors, depths, poses = [], [], []
+        for name in self.image_names:
+            fr = self._by_name[name]
+            colors.append(f"{self.input_folder}/{name}")
+            depths.append(f"{self.input_folder}/{name.replace('rgb', 'depth')}")
+            c2w = np.array(fr["transform_matrix"], dtype=np.float64)
+            poses.append(_P_FLIP @ c2w @ _P_FLIP.T)
+        self._poses_cache = poses
+        return colors, depths
+
+    def load_poses(self):
+        return self._poses_cache
+
+
+class KittiDataset(RGBDDataset):
+    """KITTI odometry-style layout (image_2/*.png + proj depth). Present for
+    loader-family completeness; like the reference (kitti.py exists but has
+    no `get_dataset` branch), it is not wired into the factory by default."""
+
+    def __init__(self, config_dict, basedir, sequence, **kwargs):
+        self.input_folder = os.path.join(basedir, sequence)
+        super().__init__(config_dict, **kwargs)
+
+    def get_filepaths(self):
+        color = natsorted(glob.glob(f"{self.input_folder}/rgb/*.png"))
+        depth = natsorted(glob.glob(f"{self.input_folder}/depth/*.png"))
+        return color, depth
+
+    def load_poses(self):
+        pose_file = os.path.join(self.input_folder, "poses.txt")
+        rows = np.loadtxt(pose_file).reshape(-1, 3, 4)
+        return [np.vstack([r, [0, 0, 0, 1]]) for r in rows]

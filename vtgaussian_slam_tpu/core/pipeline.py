@@ -191,6 +191,15 @@ class VTGaussianSLAM:
         self.ring_colors = jnp.zeros((self.bfe, 3, H, W), jnp.float32)
         self.ring_depths = jnp.zeros((self.bfe, 1, H, W), jnp.float32)
 
+        # scannetpp odometry-assisted initialization (:1364-1510)
+        self.odometer = None
+        self.frame_color_loss: list[float] = []
+        self.frame_depth_loss: list[float] = []
+        if self.dataset_name == "scannetpp":
+            from .odometry import VisualOdometer
+            self.odometer = VisualOdometer(
+                self.intrinsics, cfg.get("odometer_method", "point_to_plane"))
+
         # timing accumulators (reference "Final Stats", :2846-2867)
         self.stats = {
             "tracking_iter_time_sum": 0.0, "tracking_iter_count": 0,
@@ -389,6 +398,37 @@ class VTGaussianSLAM:
         if boundary and tr.get("sil_thres_base") is not None:
             sil_thres = tr["sil_thres_base"]
 
+        # --- scannetpp: initial-error probe + odometer rescue (:1451-1510):
+        # if the loss at the propagated pose far exceeds the running median,
+        # double the iteration budget and re-init from visual odometry.
+        odometer_rel = None
+        if self.dataset_name == "scannetpp" and self.odometer is not None:
+            from .tracking import probe_loss
+            probe_sec = self.sections[bf_idx - 1 if boundary else bf_idx]
+            im_l, d_l = probe_loss(
+                probe_sec.params, probe_sec.active_mask(), q0, tr0, frame,
+                self.cam, self._loss_cfg(True), sil_thres,
+                jnp.ones((self.cam.height, self.cam.width), bool))
+            im_l, d_l = float(im_l), float(d_l)
+            ratio = cfg.get("init_err_ratio", 50)
+            if self.frame_color_loss and (
+                    im_l > ratio * float(np.median(self.frame_color_loss))
+                    or d_l > ratio * float(np.median(self.frame_depth_loss))):
+                num_iters = 2 * num_iters
+                if cfg.get("help_camera_initialization") and \
+                        cfg.get("odometry_type") != "odometer":
+                    lc, ld, _, _ = self.dataset[t - 1]
+                    self.odometer.update_last_rgbd(lc, ld)
+                    cc, cd, _, _ = self.dataset[t]
+                    rel = self.odometer.estimate_rel_pose(cc, cd)
+                    odometer_rel = jnp.asarray(rel, jnp.float32)
+            if odometer_rel is not None:
+                q0, tr0 = _pose_from_rel(self.traj.quats, self.traj.trans,
+                                         t, odometer_rel)
+                self.traj = self.traj.replace(
+                    quats=self.traj.quats.at[t].set(q0),
+                    trans=self.traj.trans.at[t].set(tr0))
+
         H, W = self.cam.height, self.cam.width
         ones_mask = jnp.ones((H, W), bool)
         far_mask = ones_mask
@@ -480,6 +520,11 @@ class VTGaussianSLAM:
         ) else num_iters * max(1, len(cand_secs))
         self.stats["tracking_iter_time_sum"] += dt
         self.stats["tracking_iter_count"] += max(total_iters, 1)
+
+        # scannetpp: record final-iteration losses for the init-error probe
+        if self.dataset_name == "scannetpp":
+            self.frame_color_loss.append(float(state.im_loss))
+            self.frame_depth_loss.append(float(state.depth_loss))
 
         # commit best pose
         self.traj = self.traj.replace(

@@ -106,8 +106,12 @@ def main():
         q, tr = geo.w2c_to_pose(jnp.asarray(w2c, jnp.float32))
         t0 = time.time()
         st = init_track_state(jnp.asarray(q), jnp.asarray(tr), 0.999)
-        st = track_frame(sec.params, active, st, frame, ones, dummy_p2p, cam,
-                         tcfg)
+        from vtgaussian_slam_tpu.core.track_cache import build_track_cache
+        from vtgaussian_slam_tpu.core.tracking import track_frame_cached
+        cache = build_track_cache(sec.params, active, st.quat, st.trans, cam,
+                                  span_cap=3, max_pairs_per_tile=512,
+                                  chunk=128)
+        st = track_frame_cached(cache, st, frame, ones, dummy_p2p, cam, tcfg)
         st.best_quat.block_until_ready()
         t1 = time.time()
         print(f"[bench]   track: {t1 - t0:.2f}s (loss {float(st.min_loss):.1f})",

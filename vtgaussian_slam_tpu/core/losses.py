@@ -122,7 +122,21 @@ def compute_loss(
     is_first_iter: jnp.ndarray,   # scalar bool (adaptive threshold trigger)
     aux_mask: jnp.ndarray | None = None,  # (H, W) vis/far mask, pre-AND'ed
 ) -> LossOutput:
-    """Weighted masked losses for one frame at one pose.
+    """Weighted masked losses for one frame at one pose (generic renderer)."""
+    r = render_slam(params, active, cam_quat, cam_trans, cam,
+                    dict(cfg.backend_kwargs))
+    return loss_from_render(r, frame, cfg, sil_thres, is_first_iter, aux_mask)
+
+
+def loss_from_render(
+    r: RenderResult,
+    frame: Frame,
+    cfg: LossConfig,
+    sil_thres: jnp.ndarray,
+    is_first_iter: jnp.ndarray,
+    aux_mask: jnp.ndarray | None = None,
+) -> LossOutput:
+    """Weighted masked losses given a render.
 
     Mask semantics (/root/reference/src/vtgaussian_slam.py:472-608):
       valid   = gt depth > 0 (and not NaN)
@@ -132,8 +146,6 @@ def compute_loss(
     Tracking losses are SUM-reduced; mapping depth is mean L1 and mapping
     color is 0.8*L1 + 0.2*(1 - SSIM).
     """
-    r = render_slam(params, active, cam_quat, cam_trans, cam,
-                    dict(cfg.backend_kwargs))
     gt_im, gt_depth = frame.color, frame.depth
 
     uncertainty = jax.lax.stop_gradient(r.depth_sq - r.depth * r.depth)

@@ -41,7 +41,9 @@ from .p2p import P2PTarget, make_p2p_target
 from .selection import (find_earliest_keyframe, overlap_percents,
                         select_earliest_topk_base, select_topk_overlap,
                         select_visbased)
-from .tracking import TrackingConfig, init_track_state, track_frame
+from .track_cache import build_track_cache
+from .tracking import (TrackingConfig, init_track_state, track_frame,
+                       track_frame_cached)
 
 
 @jax.jit
@@ -199,6 +201,19 @@ class VTGaussianSLAM:
             from .odometry import VisualOdometer
             self.odometer = VisualOdometer(
                 self.intrinsics, cfg.get("odometer_method", "point_to_plane"))
+
+        # observability (reference wandb plumbing, :1217-1226; degrades to a
+        # JSONL event stream when wandb is unavailable)
+        from ..utils.observability import RunLogger
+        wb = cfg.get("wandb", {})
+        self.logger = RunLogger(
+            enabled=bool(cfg.get("use_wandb")),
+            project=wb.get("project", ""), group=wb.get("group", ""),
+            name=wb.get("name", ""), entity=wb.get("entity", ""),
+            config=cfg,
+            out_dir=os.path.join(cfg.get("workdir", "."),
+                                 cfg.get("run_name", "run")))
+        self._wandb_time_step = 0
 
         # timing accumulators (reference "Final Stats", :2846-2867)
         self.stats = {
@@ -363,6 +378,23 @@ class VTGaussianSLAM:
         self.earliest_corr.append([t, "selected_baseframes", secs])
         return secs, secs[0] * self.bfe
 
+    def _run_track(self, sec, state, frame, aux_mask, p2p_t, tcfg):
+        """Run the tracking loop: frozen-binning cached renderer for
+        isotropic Gaussians (core/track_cache.py), generic renderer
+        otherwise."""
+        if self.config["gaussian_distribution"] == "isotropic" and \
+                self.config["tpu"].get("track_cache", True):
+            bk = dict(self.backend_kwargs)
+            cache = build_track_cache(
+                sec.params, sec.active_mask(), state.quat, state.trans,
+                self.cam, span_cap=bk.get("span_cap", 3),
+                max_pairs_per_tile=bk.get("max_pairs_per_tile", 512),
+                chunk=bk.get("chunk", 128))
+            return track_frame_cached(cache, state, frame, aux_mask, p2p_t,
+                                      self.cam, tcfg)
+        return track_frame(sec.params, sec.active_mask(), state, frame,
+                           aux_mask, p2p_t, self.cam, tcfg)
+
     # ------------------------------------------------------------------
     def _track(self, t, frame, frame_color_np):
         """Full tracking for one frame; commits the best pose into traj."""
@@ -460,8 +492,8 @@ class VTGaussianSLAM:
             for sec_id in cand_secs:
                 sec = self.sections[sec_id]
                 st = init_track_state(q0, tr0, sil_thres)
-                st = track_frame(sec.params, sec.active_mask(), st, frame,
-                                 far_mask, dummy_p2p, self.cam, phase1)
+                st = self._run_track(sec, st, frame, far_mask, dummy_p2p,
+                                     phase1)
                 states.append(st)
             losses = [float(s.min_loss) for s in states]
             win = int(np.argmin(losses))
@@ -482,8 +514,7 @@ class VTGaussianSLAM:
             sec = self.sections[sec_id]
             state = state.replace(min_metric=jnp.asarray(1e20, jnp.float32))
             if phase2.num_iters > 0:
-                state = track_frame(sec.params, sec.active_mask(), state, frame,
-                                    aux, p2p_t, self.cam, phase2)
+                state = self._run_track(sec, state, frame, aux, p2p_t, phase2)
             results.append((sec_id, state))
         else:
             metric = "loss"
@@ -499,15 +530,13 @@ class VTGaussianSLAM:
             sec_id = cand_secs[0]
             sec = self.sections[sec_id]
             state = init_track_state(q0, tr0, sil_thres)
-            state = track_frame(sec.params, sec.active_mask(), state, frame,
-                                far_mask, p2p_t, self.cam, tcfg)
+            state = self._run_track(sec, state, frame, far_mask, p2p_t, tcfg)
 
             # depth-loss-threshold iteration doubling (:2218-2229)
             if tr["use_depth_loss_thres"] and float(state.depth_loss) >= \
                     tr["depth_loss_thres"]:
-                state = track_frame(sec.params, sec.active_mask(), state, frame,
-                                    far_mask, p2p_t, self.cam,
-                                    tcfg._replace(num_iters=num_iters))
+                state = self._run_track(sec, state, frame, far_mask, p2p_t,
+                                        tcfg._replace(num_iters=num_iters))
             results.append((sec_id, state))
 
         sec_id, state = results[-1]
@@ -746,6 +775,21 @@ class VTGaussianSLAM:
             if cfg["mapping"]["num_iters"] > 0:
                 self._map(t, frame)
 
+        # per-frame progress report (:2325-2342; eval_helpers report_progress)
+        if cfg["use_wandb"] and (
+                t == 0 or (t + 1) % cfg["report_global_progress_every"] == 0):
+            from ..utils.observability import report_progress
+            try:
+                report_progress(self.logger, t, self._traj_w2c_np(t),
+                                self.gt_w2c)
+            except Exception:
+                from ..utils.common import save_params_ckpt
+                save_params_ckpt(
+                    G.section_to_numpy_params(self.sections[-1], self.traj),
+                    os.path.join(cfg["workdir"], cfg["run_name"]), t)
+                print("Failed to evaluate trajectory.")
+        self._wandb_time_step += 1
+
         # keyframe/baseframe bookkeeping (:2783-2818)
         if ((t == 0 or (t + 1) % cfg["keyframe_every"] == 0
              or t == self.num_frames - 2)
@@ -780,6 +824,19 @@ class VTGaussianSLAM:
                     and (t + 1) % cfg.get("checkpoint_interval", 100) == 0):
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(self, t)
+        if cfg["use_wandb"]:
+            s = self.final_stats()
+            self.logger.log({
+                "Final Stats/Average Tracking Iteration Time (ms)":
+                    s["avg_tracking_iter_ms"],
+                "Final Stats/Average Tracking Frame Time (s)":
+                    s["avg_tracking_frame_s"],
+                "Final Stats/Average Mapping Iteration Time (ms)":
+                    s["avg_mapping_iter_ms"],
+                "Final Stats/Average Mapping Frame Time (s)":
+                    s["avg_mapping_frame_s"],
+                "Final Stats/step": 1})
+            self.logger.finish()
         return self
 
     def process_frame_zero(self):

@@ -134,6 +134,71 @@ def track_frame(
     return jax.lax.fori_loop(0, cfg.num_iters, body, state)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def track_frame_cached(
+    cache,                        # core.track_cache.TrackCache
+    state: TrackState,
+    frame: Frame,
+    aux_mask: jnp.ndarray,
+    p2p_target: P2PTarget,
+    cam: Camera,
+    cfg: TrackingConfig,
+) -> TrackState:
+    """`track_frame` over the frozen-binning renderer (core/track_cache.py):
+    per-iteration cost drops to elementwise reprojection + the Pallas blend —
+    no pair sort, no record gather."""
+    from .losses import loss_from_render
+    from .track_cache import render_cached
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    lr = jnp.concatenate([
+        jnp.full((4,), cfg.lr_quat), jnp.full((3,), cfg.lr_trans)
+    ]).astype(state.quat.dtype)
+    bk = dict(cfg.loss_cfg.backend_kwargs)
+    chunk = max(bk.get("chunk", 128), 128)
+
+    def loss_fn(quat, trans, sil_thres, is_first):
+        r = render_cached(cache, quat, trans, cam, chunk=chunk)
+        out = loss_from_render(r, frame, cfg.loss_cfg, sil_thres, is_first,
+                               aux_mask)
+        return out.loss, out
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def body(i, s: TrackState) -> TrackState:
+        (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres, i == 0)
+        g = jnp.concatenate([gq, gt])
+        count = s.count + 1
+        t = count.astype(loss.dtype)
+        m = b1 * s.m + (1 - b1) * g
+        v = b2 * s.v + (1 - b2) * g * g
+        upd = lr * (m / (1 - b1**t)) / (jnp.sqrt(v / (1 - b2**t)) + eps)
+        pose = jnp.concatenate([s.quat, s.trans]) - upd
+        new_quat, new_trans = pose[:4], pose[4:]
+
+        if cfg.metric == "loss":
+            metric = loss
+        else:
+            from ..ops import geometry as geo
+            w2c = geo.pose_to_w2c(geo.normalize(new_quat), new_trans)
+            metric = point2plane_metric(
+                p2p_target, frame.depth, jnp.asarray(cam.intrinsics), w2c,
+                method=cfg.p2p_method)
+
+        better = metric < s.min_metric
+        return TrackState(
+            quat=new_quat, trans=new_trans, m=m, v=v, count=count,
+            best_quat=jnp.where(better, new_quat, s.best_quat),
+            best_trans=jnp.where(better, new_trans, s.best_trans),
+            min_metric=jnp.minimum(metric, s.min_metric),
+            min_loss=jnp.minimum(loss, s.min_loss),
+            sil_thres=out.sil_thres_out,
+            im_loss=out.im_loss, depth_loss=out.depth_loss,
+        )
+
+    return jax.lax.fori_loop(0, cfg.num_iters, body, state)
+
+
 def probe_loss(params, active, quat, trans, frame, cam, cfg: LossConfig,
                sil_thres: float, aux_mask):
     """Single loss evaluation (no step) — the scannetpp initial-error probe

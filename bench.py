@@ -49,6 +49,7 @@ def main():
     backend = dict(span_cap=3, max_pairs_per_tile=512, chunk=128,
                    use_pallas=True)
     bk = tuple(sorted(backend.items()))
+    bk_map = tuple(sorted(dict(backend, max_pairs_per_tile=256).items()))
 
     ds = SyntheticRoomDataset(num_frames=N_FRAMES + 2, height=H, width=W,
                               seed=0, motion_scale=0.05)
@@ -82,7 +83,7 @@ def main():
         tracking=False, use_sil_for_loss=False,
         ignore_outlier_depth_loss=False, adaptive_sil=False,
         use_vis_mask=False, use_far_filter=False, im_weight=1.0,
-        depth_weight=1.0, isotropic=True, backend_kwargs=bk)
+        depth_weight=1.0, isotropic=True, backend_kwargs=bk_map)
     tcfg = TrackingConfig(num_iters=TRACK_ITERS, lr_quat=4e-4, lr_trans=2e-3,
                           metric="loss", p2p_method="sum", loss_cfg=lcfg_track)
     mcfg = MappingConfig(

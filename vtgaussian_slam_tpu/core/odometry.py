@@ -137,7 +137,20 @@ def rgbd_odometry_multi_scale(
                                0.0)
                 JTJ = JTJ + 0.5 * (Jp.T @ Jp)
                 JTr = JTr + 0.5 * (Jp.T @ gr)
-            delta = jnp.linalg.solve(JTJ + 1e-6 * jnp.eye(6), -JTr)
+            # Levenberg damping relative to the problem scale + a trust-region
+            # step clamp: pure point-to-plane is rank-deficient on dominant
+            # planes (sliding DOF), so near-singular solves must be tamed.
+            lam = 1e-4 * jnp.trace(JTJ) / 6.0 + 1e-8
+            delta = jnp.linalg.solve(JTJ + lam * jnp.eye(6), -JTr)
+            delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta,
+                              jnp.zeros_like(delta))
+            rot_n = jnp.linalg.norm(delta[:3])
+            tr_n = jnp.linalg.norm(delta[3:])
+            max_rot, max_tr = 0.05, 0.05
+            scale = jnp.minimum(
+                1.0, jnp.minimum(max_rot / jnp.maximum(rot_n, 1e-12),
+                                 max_tr / jnp.maximum(tr_n, 1e-12)))
+            delta = delta * scale
             return _se3_exp(delta) @ T, None
 
         T, _ = jax.lax.scan(gn_step, T, None, length=iters)

@@ -159,6 +159,15 @@ class VTGaussianSLAM:
             "chunk": cfg["tpu"]["blend_chunk"],
             "use_pallas": use_pallas,
         }.items()))
+        # mapping may use a shorter per-tile depth list (transmittance
+        # saturates long before typical budgets; knob tpu.map_max_pairs_per_tile)
+        self.map_backend_kwargs = tuple(sorted({
+            "span_cap": cfg["tpu"]["span_cap"],
+            "max_pairs_per_tile": cfg["tpu"].get(
+                "map_max_pairs_per_tile", cfg["tpu"]["max_pairs_per_tile"]),
+            "chunk": cfg["tpu"]["blend_chunk"],
+            "use_pallas": use_pallas,
+        }.items()))
 
         # cameras
         color0, depth0, intrinsics0, pose0 = self.dataset[0]
@@ -246,6 +255,7 @@ class VTGaussianSLAM:
     def _loss_cfg(self, tracking: bool, use_vis: bool = False,
                   use_far: bool = False) -> LossConfig:
         tr = self.config["tracking" if tracking else "mapping"]
+        bk = self.backend_kwargs if tracking else self.map_backend_kwargs
         return LossConfig(
             tracking=tracking,
             use_sil_for_loss=tr["use_sil_for_loss"],
@@ -257,7 +267,7 @@ class VTGaussianSLAM:
             im_weight=float(tr["loss_weights"]["im"]),
             depth_weight=float(tr["loss_weights"]["depth"]),
             isotropic=self.config["gaussian_distribution"] == "isotropic",
-            backend_kwargs=self.backend_kwargs,
+            backend_kwargs=bk,
         )
 
     # ------------------------------------------------------------------

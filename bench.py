@@ -49,7 +49,8 @@ def main():
     backend = dict(span_cap=3, max_pairs_per_tile=512, chunk=128,
                    use_pallas=True)
     bk = tuple(sorted(backend.items()))
-    bk_map = tuple(sorted(dict(backend, max_pairs_per_tile=256).items()))
+    bk_map = bk  # mapping keeps the full depth-list budget: truncation
+    # below ~512 visibly breaks silhouette convergence on unconverged maps
 
     ds = SyntheticRoomDataset(num_frames=N_FRAMES + 2, height=H, width=W,
                               seed=0, motion_scale=0.05)

@@ -92,7 +92,8 @@ def main():
         lrs=(("log_scales", 0.005), ("logit_opacities", 0.05),
              ("means3D", 0.0), ("rgb_colors", 0.0025),
              ("unnorm_rotations", 0.0)),
-        loss_cfg=lcfg_map, use_global=False, baseframe_every=40)
+        loss_cfg=lcfg_map, use_global=False, baseframe_every=40,
+        use_tabled=True)
 
     ones = jnp.ones((H, W), bool)
     dummy_p2p = make_p2p_target(jnp.zeros((1, 8, 8), jnp.float32),

@@ -43,6 +43,11 @@ class MappingConfig(NamedTuple):
     loss_cfg: LossConfig   # tracking=False
     use_global: bool       # add frozen-section consistency term
     baseframe_every: int
+    # table-space render: bin per iteration but compute conic/depth channels
+    # in per-tile table layout so backward only scatter-adds the 5 trainable
+    # channels (scale, opacity, rgb) instead of full 16-wide records.
+    # Requires isotropic Gaussians; ~2x cheaper mapping backward on TPU.
+    use_tabled: bool = False
 
 
 class KeyframeBuffer(NamedTuple):
@@ -97,10 +102,28 @@ def map_frame(
             vals[a] = jax.lax.stop_gradient(v) if lr_dict.get(f, 0.0) == 0.0 else v
         return GaussianParams(**vals)
 
+    bk = dict(cfg.loss_cfg.backend_kwargs)
+
+    def single_loss(p: GaussianParams, act, frame: Frame, quat, trans):
+        if cfg.use_tabled:
+            from .losses import loss_from_render
+            from .track_cache import build_track_cache, render_cached
+            cache = build_track_cache(
+                p, act, quat, trans, cam,
+                span_cap=bk.get("span_cap", 3),
+                max_pairs_per_tile=bk.get("max_pairs_per_tile", 512),
+                chunk=bk.get("chunk", 128))
+            r = render_cached(cache, quat, trans, cam,
+                              chunk=max(bk.get("chunk", 128), 128))
+            return loss_from_render(r, frame, cfg.loss_cfg,
+                                    jnp.asarray(0.5, jnp.float32),
+                                    jnp.asarray(False))
+        return compute_loss(p, act, quat, trans, frame, cam, cfg.loss_cfg,
+                            jnp.asarray(0.5, jnp.float32), jnp.asarray(False))
+
     def loss_fn(p: GaussianParams, frame: Frame, quat, trans, kf_id):
         p = freeze_zero_lr(p)
-        out = compute_loss(p, active, quat, trans, frame, cam, cfg.loss_cfg,
-                           jnp.asarray(0.5, jnp.float32), jnp.asarray(False))
+        out = single_loss(p, active, frame, quat, trans)
         loss = out.loss
         if cfg.use_global:
             def add_global(l):
@@ -116,9 +139,7 @@ def map_frame(
                     log_scales=jnp.concatenate([fixed.log_scales, p.log_scales]),
                 )
                 g_active = jnp.concatenate([fixed_active, active])
-                gout = compute_loss(gp, g_active, quat, trans, frame, cam,
-                                    cfg.loss_cfg, jnp.asarray(0.5, jnp.float32),
-                                    jnp.asarray(False))
+                gout = single_loss(gp, g_active, frame, quat, trans)
                 return l + gout.loss
 
             # global term applies when the sampled keyframe is a base frame

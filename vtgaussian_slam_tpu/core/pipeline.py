@@ -139,9 +139,13 @@ class VTGaussianSLAM:
             gradslam_cfg = load_dataset_config(data_cfg["gradslam_data_cfg"])
         self.dataset_name = gradslam_cfg["dataset_name"]
 
-        self.dataset = build_dataset(cfg)
+        from ..datasets.prefetch import FramePrefetcher
+        self.dataset = FramePrefetcher(build_dataset(cfg),
+                                       lookahead=cfg["tpu"].get("prefetch", 2))
         self.sep_densify = separate_densification_res(cfg)
-        self.densify_dataset = build_dataset(cfg, densify_res=True) \
+        self.densify_dataset = FramePrefetcher(
+            build_dataset(cfg, densify_res=True),
+            lookahead=cfg["tpu"].get("prefetch", 2)) \
             if self.sep_densify else None
 
         self.num_frames = data_cfg.get("num_frames", -1)
@@ -719,6 +723,9 @@ class VTGaussianSLAM:
             loss_cfg=self._loss_cfg(False),
             use_global=use_global,
             baseframe_every=self.bfe,
+            use_tabled=(cfg["gaussian_distribution"] == "isotropic"
+                        and jax.default_backend() != "cpu"
+                        and cfg["tpu"].get("map_tabled", True)),
         )
         self.rng, k = jax.random.split(self.rng)
         new_params = map_frame(sec.params, sec.active_mask(), fixed_params,

@@ -137,12 +137,39 @@ def eval_sequence(
                       ("l1", l1_list), ("ssim", ssim_list),
                       ("lpips", lpips_list)):
         np.savetxt(os.path.join(eval_dir, f"{name}.txt"), np.array(arr))
+    _plot_metrics(eval_dir, psnr_list, l1_list, results["psnr"],
+                  results["depth_l1"], ate_rmse)
     print(f"Average PSNR: {results['psnr']:.2f}")
     print(f"Average Depth RMSE: {results['depth_rmse'] * 100:.2f} cm")
     print(f"Average Depth L1: {results['depth_l1'] * 100:.2f} cm")
     print(f"Average MS-SSIM: {results['ms_ssim']:.3f}")
     print(f"Final Average ATE RMSE: {ate_rmse * 100:.2f} cm")
     return results
+
+
+def _plot_metrics(eval_dir, psnr_list, l1_list, avg_psnr, avg_l1, ate_rmse):
+    """PSNR/Depth-L1 line plots -> metrics.png (reference :588-599)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, axs = plt.subplots(1, 2, figsize=(12, 4))
+    axs[0].plot(np.arange(len(psnr_list)), psnr_list)
+    axs[0].set_title("RGB PSNR")
+    axs[0].set_xlabel("Time Step")
+    axs[0].set_ylabel("PSNR")
+    axs[1].plot(np.arange(len(l1_list)), np.array(l1_list) * 100)
+    axs[1].set_title("Depth L1")
+    axs[1].set_xlabel("Time Step")
+    axs[1].set_ylabel("L1 (cm)")
+    fig.suptitle(
+        f"Average PSNR: {avg_psnr:.2f}, Average Depth L1: "
+        f"{avg_l1 * 100:.2f} cm, ATE RMSE: {ate_rmse * 100:.2f} cm",
+        y=1.05, fontsize=16)
+    plt.savefig(os.path.join(eval_dir, "metrics.png"), bbox_inches="tight")
+    plt.close()
 
 
 def _save_frame_pngs(eval_dir, t, im, depth, gt_im, gt_depth):

@@ -114,7 +114,8 @@ def main():
         cache = build_track_cache(sec.params, active, st.quat, st.trans, cam,
                                   span_cap=3, max_pairs_per_tile=512,
                                   chunk=128)
-        st = track_frame_cached(cache, st, frame, ones, dummy_p2p, cam, tcfg)
+        st, _, _ = track_frame_cached(cache, st, frame, ones, dummy_p2p,
+                                      cam, tcfg)
         st.best_quat.block_until_ready()
         t1 = time.time()
         print(f"[bench]   track: {t1 - t0:.2f}s (loss {float(st.min_loss):.1f})",
@@ -123,9 +124,9 @@ def main():
                             quats=st.best_quat[None], trans=st.best_trans[None],
                             frame_ids=jnp.zeros((1,), jnp.int32),
                             count=jnp.asarray(1, jnp.int32))
-        new_params = map_frame(sec.params, active, dummy.params,
-                               dummy.active_mask(), kf,
-                               jax.random.fold_in(rng, t), cam, mcfg)
+        new_params, _ = map_frame(sec.params, active, dummy.params,
+                                  dummy.active_mask(), kf,
+                                  jax.random.fold_in(rng, t), cam, mcfg)
         new_params.means3d.block_until_ready()
         t2 = time.time()
         print(f"[bench]   map:   {t2 - t1:.2f}s", file=sys.stderr)

@@ -148,17 +148,19 @@ def map_frame(
             loss = jax.lax.cond(is_base, add_global, lambda l: l, loss)
         return loss
 
-    grad_fn = jax.grad(loss_fn)
+    vg_fn = jax.value_and_grad(loss_fn)
 
     def body(i, carry):
-        p, opt = carry
+        p, opt, hist = carry
         k = jax.random.fold_in(rng, i)
         idx = jax.random.randint(k, (), 0, kf.count)
         frame = Frame(color=kf.colors[idx], depth=kf.depths[idx])
-        grads = grad_fn(p, frame, kf.quats[idx], kf.trans[idx],
-                        kf.frame_ids[idx])
+        loss, grads = vg_fn(p, frame, kf.quats[idx], kf.trans[idx],
+                            kf.frame_ids[idx])
         p, opt = adam_step(p, grads, opt, lrs, eps=1e-15)
-        return (p, opt)
+        return (p, opt, hist.at[i].set(loss))
 
-    params, _ = jax.lax.fori_loop(0, cfg.num_iters, body, (params, opt_state))
-    return params
+    hist0 = jnp.zeros((cfg.num_iters,), params.means3d.dtype)
+    params, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
+                                        (params, opt_state, hist0))
+    return params, hist

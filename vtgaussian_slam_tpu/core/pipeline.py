@@ -404,10 +404,23 @@ class VTGaussianSLAM:
                 self.cam, span_cap=bk.get("span_cap", 3),
                 max_pairs_per_tile=bk.get("max_pairs_per_tile", 512),
                 chunk=bk.get("chunk", 128))
-            return track_frame_cached(cache, state, frame, aux_mask, p2p_t,
-                                      self.cam, tcfg)
-        return track_frame(sec.params, sec.active_mask(), state, frame,
-                           aux_mask, p2p_t, self.cam, tcfg)
+            state, im_h, d_h = track_frame_cached(
+                cache, state, frame, aux_mask, p2p_t, self.cam, tcfg)
+        else:
+            state, im_h, d_h = track_frame(
+                sec.params, sec.active_mask(), state, frame, aux_mask, p2p_t,
+                self.cam, tcfg)
+        if self.config["use_wandb"]:
+            from ..utils.observability import report_loss
+            w = dict(self.config["tracking"]["loss_weights"])
+            for i, (il, dl) in enumerate(zip(np.asarray(im_h),
+                                             np.asarray(d_h))):
+                self._wandb_track_step = report_loss(
+                    {"loss": w["im"] * il + w["depth"] * dl, "im": il,
+                     "depth": dl},
+                    self.logger, getattr(self, "_wandb_track_step", 0),
+                    tracking=True)
+        return state
 
     # ------------------------------------------------------------------
     def _track(self, t, frame, frame_color_np):
@@ -728,10 +741,18 @@ class VTGaussianSLAM:
                         and cfg["tpu"].get("map_tabled", True)),
         )
         self.rng, k = jax.random.split(self.rng)
-        new_params = map_frame(sec.params, sec.active_mask(), fixed_params,
-                               fixed_active, kf, k, self.cam, mcfg)
+        new_params, map_hist = map_frame(sec.params, sec.active_mask(),
+                                         fixed_params, fixed_active, kf, k,
+                                         self.cam, mcfg)
         new_params.means3d.block_until_ready()
         self.sections[bf_idx] = sec.replace(params=new_params)
+        if cfg["use_wandb"]:
+            from ..utils.observability import report_loss
+            for loss in np.asarray(map_hist):
+                self._wandb_map_step = report_loss(
+                    {"loss": float(loss), "im": 0.0, "depth": 0.0},
+                    self.logger, getattr(self, "_wandb_map_step", 0),
+                    mapping=True)
 
         dt = time.time() - t_start
         self.stats["mapping_frame_time_sum"] += dt

@@ -85,7 +85,9 @@ def track_frame(
     p2p_target: P2PTarget,
     cam: Camera,
     cfg: TrackingConfig,
-) -> TrackState:
+) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
+    """Returns (state, im_loss_history, depth_loss_history) — the per-
+    iteration loss streams the reference logs to wandb (report_loss)."""
     b1, b2, eps = 0.9, 0.999, 1e-8
     lr = jnp.concatenate([
         jnp.full((4,), cfg.lr_quat), jnp.full((3,), cfg.lr_trans)
@@ -98,7 +100,8 @@ def track_frame(
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    def body(i, s: TrackState) -> TrackState:
+    def body(i, carry):
+        s, im_h, d_h = carry
         (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres, i == 0)
 
         # fresh-per-frame Adam on the 7 pose dofs (torch semantics)
@@ -121,7 +124,7 @@ def track_frame(
                 method=cfg.p2p_method)
 
         better = metric < s.min_metric
-        return TrackState(
+        new_state = TrackState(
             quat=new_quat, trans=new_trans, m=m, v=v, count=count,
             best_quat=jnp.where(better, new_quat, s.best_quat),
             best_trans=jnp.where(better, new_trans, s.best_trans),
@@ -130,8 +133,11 @@ def track_frame(
             sil_thres=out.sil_thres_out,
             im_loss=out.im_loss, depth_loss=out.depth_loss,
         )
+        return new_state, im_h.at[i].set(out.im_loss), \
+            d_h.at[i].set(out.depth_loss)
 
-    return jax.lax.fori_loop(0, cfg.num_iters, body, state)
+    zeros = jnp.zeros((cfg.num_iters,), state.quat.dtype)
+    return jax.lax.fori_loop(0, cfg.num_iters, body, (state, zeros, zeros))
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -165,7 +171,8 @@ def track_frame_cached(
 
     grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
 
-    def body(i, s: TrackState) -> TrackState:
+    def body(i, carry):
+        s, im_h, d_h = carry
         (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres, i == 0)
         g = jnp.concatenate([gq, gt])
         count = s.count + 1
@@ -186,7 +193,7 @@ def track_frame_cached(
                 method=cfg.p2p_method)
 
         better = metric < s.min_metric
-        return TrackState(
+        new_state = TrackState(
             quat=new_quat, trans=new_trans, m=m, v=v, count=count,
             best_quat=jnp.where(better, new_quat, s.best_quat),
             best_trans=jnp.where(better, new_trans, s.best_trans),
@@ -195,8 +202,11 @@ def track_frame_cached(
             sil_thres=out.sil_thres_out,
             im_loss=out.im_loss, depth_loss=out.depth_loss,
         )
+        return new_state, im_h.at[i].set(out.im_loss), \
+            d_h.at[i].set(out.depth_loss)
 
-    return jax.lax.fori_loop(0, cfg.num_iters, body, state)
+    zeros = jnp.zeros((cfg.num_iters,), state.quat.dtype)
+    return jax.lax.fori_loop(0, cfg.num_iters, body, (state, zeros, zeros))
 
 
 def probe_loss(params, active, quat, trans, frame, cam, cfg: LossConfig,

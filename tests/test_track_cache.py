@@ -1,0 +1,114 @@
+"""Frozen-binning cached renderer vs the generic tiled renderer."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vtgaussian_slam_tpu.core.losses import render_slam
+from vtgaussian_slam_tpu.core.track_cache import (build_track_cache,
+                                                  render_cached)
+from vtgaussian_slam_tpu.models.gaussians import GaussianParams
+from vtgaussian_slam_tpu.ops.camera import Camera
+
+CAM = Camera(height=48, width=64, fx=60.0, fy=60.0, cx=32.0, cy=24.0)
+
+
+def scene(n=160, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    z = jax.random.uniform(ks[0], (n,), minval=1.5, maxval=3.5)
+    u = jax.random.uniform(ks[1], (n,), minval=4.0, maxval=60.0)
+    v = jax.random.uniform(ks[2], (n,), minval=4.0, maxval=44.0)
+    means = jnp.stack([(u - 32) / 60 * z, (v - 24) / 60 * z, z], -1)
+    params = GaussianParams(
+        means3d=means,
+        rgb_colors=jax.random.uniform(ks[3], (n, 3)),
+        unnorm_rotations=jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1)),
+        logit_opacities=jax.random.normal(ks[4], (n, 1)),
+        log_scales=jax.random.uniform(ks[5], (n, 1), minval=-3.5, maxval=-2.5),
+    )
+    return params, jnp.ones((n,), bool)
+
+
+BK = {"span_cap": 3, "max_pairs_per_tile": 256, "chunk": 128,
+      "use_pallas": True}
+
+
+class TestTrackCache:
+    def test_exact_at_build_pose(self):
+        params, active = scene()
+        quat = jnp.array([1.0, 0.001, 0.0, 0.0])
+        trans = jnp.array([0.01, 0.0, 0.0])
+        ref = render_slam(params, active, quat, trans, CAM, BK)
+        cache = build_track_cache(params, active, quat, trans, CAM,
+                                  span_cap=3, max_pairs_per_tile=256,
+                                  chunk=128)
+        got = render_cached(cache, quat, trans, CAM, chunk=128)
+        np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.depth),
+                                   np.asarray(ref.depth), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.silhouette),
+                                   np.asarray(ref.silhouette), atol=1e-5)
+
+    def test_close_at_perturbed_pose(self):
+        """Millimeter pose deltas: cached render stays visually identical."""
+        params, active = scene(seed=1)
+        quat = jnp.array([1.0, 0, 0, 0])
+        trans = jnp.zeros(3)
+        cache = build_track_cache(params, active, quat, trans, CAM,
+                                  span_cap=3, max_pairs_per_tile=256,
+                                  chunk=128)
+        quat2 = quat + jnp.array([0.0, 0.0005, -0.0005, 0.0])
+        trans2 = trans + jnp.array([0.002, -0.001, 0.001])
+        ref = render_slam(params, active, quat2, trans2, CAM, BK)
+        got = render_cached(cache, quat2, trans2, CAM, chunk=128)
+        diff = np.abs(np.asarray(got.im) - np.asarray(ref.im))
+        assert diff.mean() < 1e-3, diff.mean()
+
+    def test_pose_gradients_flow(self):
+        params, active = scene(seed=2)
+        quat = jnp.array([1.0, 0, 0, 0])
+        trans = jnp.zeros(3)
+        cache = build_track_cache(params, active, quat, trans, CAM,
+                                  span_cap=3, max_pairs_per_tile=256,
+                                  chunk=128)
+        target = jnp.zeros((3, CAM.height, CAM.width))
+
+        def loss(q, t):
+            r = render_cached(cache, q, t, CAM, chunk=128)
+            return jnp.sum((r.im - target) ** 2)
+
+        gq, gt = jax.grad(loss, argnums=(0, 1))(quat, trans)
+        assert np.all(np.isfinite(gq)) and np.all(np.isfinite(gt))
+        assert float(jnp.abs(gt).max()) > 0
+
+        # must match the generic renderer's pose gradients (FD is unreliable
+        # at f32 on a sum-of-squares this size)
+        def loss_generic(q, t):
+            r = render_slam(params, active, q, t, CAM, BK)
+            return jnp.sum((r.im - target) ** 2)
+
+        gq2, gt2 = jax.grad(loss_generic, argnums=(0, 1))(quat, trans)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2), rtol=1e-3,
+                                   atol=1e-4)
+
+    def test_attribute_gradients_flow_through_cache(self):
+        """Mapping's tabled path: grads wrt rgb/opacity/scale via the cache."""
+        params, active = scene(seed=3)
+        quat = jnp.array([1.0, 0, 0, 0])
+        trans = jnp.zeros(3)
+
+        def loss(rgb, lo, ls):
+            p = params.replace(rgb_colors=rgb, logit_opacities=lo,
+                               log_scales=ls)
+            cache = build_track_cache(p, active, quat, trans, CAM,
+                                      span_cap=3, max_pairs_per_tile=256,
+                                      chunk=128)
+            r = render_cached(cache, quat, trans, CAM, chunk=128)
+            return jnp.sum(r.im ** 2) + jnp.sum(r.depth ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(
+            params.rgb_colors, params.logit_opacities, params.log_scales)
+        for arr in g:
+            assert np.all(np.isfinite(np.asarray(arr)))
+            assert float(jnp.abs(arr).max()) > 0

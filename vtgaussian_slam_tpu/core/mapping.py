@@ -29,7 +29,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from ..models.gaussians import GaussianParams
 from ..models.optimizer import adam_init, adam_step

@@ -30,7 +30,7 @@ import numpy as np
 from ..datasets import get_dataset, load_dataset_config
 from ..models import gaussians as G
 from ..ops import geometry as geo
-from ..ops.camera import Camera, setup_camera
+from ..ops.camera import setup_camera
 from ..ops.image import geometric_edge_mask, resize_mask_nearest
 from .config import prepare_config, separate_densification_res
 from .densify import (base_frame_pointcloud, densify_candidates_base,

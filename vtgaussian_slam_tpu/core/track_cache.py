@@ -36,8 +36,7 @@ import jax.numpy as jnp
 
 from ..models.gaussians import GaussianParams
 from ..ops.camera import Camera
-from ..ops.rasterizer.blend import blend_chunk, gaussian_alpha
-from ..ops.rasterizer.pallas_blend import RECW, blend_tiles
+from ..ops.rasterizer.pallas_blend import blend_tiles
 from ..ops.rasterizer.projection import (COV2D_DILATION, NEAR_CULL,
                                          project_gaussians)
 from .losses import RenderResult

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import gaussians as G
-from ..ops.camera import Camera, setup_camera
+from ..ops.camera import setup_camera
 from ..ops import geometry as geo
 from ..ops.ssim import ms_ssim
 from ..core.losses import render_slam

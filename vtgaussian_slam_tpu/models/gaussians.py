@@ -20,7 +20,7 @@ Parameter semantics match the reference exactly:
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ Conventions (matching the reference):
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -82,8 +82,6 @@ def report_progress(logger: RunLogger, time_idx: int, est_w2c, gt_w2c_list,
     relative pose error of the latest frame + running ATE."""
     import numpy as np
 
-    from ..eval.metrics import evaluate_ate
-
     rec = {"Tracking/step": time_idx}
     try:
         gt = np.asarray(gt_w2c_list[time_idx], np.float64)

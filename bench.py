@@ -46,7 +46,7 @@ def main():
     N_FRAMES = 3                  # timed frames (after compile warmup)
     BASELINE_ITERS_PER_SEC = 25.0
 
-    backend = dict(span_cap=3, max_pairs_per_tile=512, chunk=128,
+    backend = dict(span_cap=2, max_pairs_per_tile=512, chunk=128,
                    use_pallas=True)
     bk = tuple(sorted(backend.items()))
     bk_map = bk  # mapping keeps the full depth-list budget: truncation
@@ -112,7 +112,7 @@ def main():
         from vtgaussian_slam_tpu.core.track_cache import build_track_cache
         from vtgaussian_slam_tpu.core.tracking import track_frame_cached
         cache = build_track_cache(sec.params, active, st.quat, st.trans, cam,
-                                  span_cap=3, max_pairs_per_tile=512,
+                                  span_cap=2, max_pairs_per_tile=512,
                                   chunk=128)
         st, _, _ = track_frame_cached(cache, st, frame, ones, dummy_p2p,
                                       cam, tcfg)

@@ -65,7 +65,7 @@ def prepare_config(config: dict) -> dict:
     # span 2 (4N pair budget) is quality-equivalent at SLAM splat sizes
     # (~1-3 px screen radius) and ~40% cheaper to bin/sort than span 3
     tpu.setdefault("span_cap", 2)
-    tpu.setdefault("max_pairs_per_tile", 1024)
+    tpu.setdefault("max_pairs_per_tile", 512)
     tpu.setdefault("blend_chunk", 128)
     tpu.setdefault("baseframe_capacity_quantum", 64)
     return config

@@ -20,6 +20,7 @@ Differences from the reference, by design (each noted inline):
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -46,15 +47,23 @@ from .tracking import (TrackingConfig, init_track_state, track_frame,
                        track_frame_cached)
 
 
-@jax.jit
-def _propagate_pose(quats, trans, t):
+@functools.partial(jax.jit, static_argnames=("multiavg",))
+def _propagate_pose(quats, trans, t, multiavg: bool = False):
     """Constant-velocity pose init (reference `initialize_camera_pose`,
     /root/reference/src/vtgaussian_slam.py:838-875). Returns (quat, trans)
-    for frame t from frames t-1, t-2 (t-1 copy when t < 2)."""
+    for frame t from frames t-1, t-2 (t-1 copy when t < 2); `multiavg`
+    averages two relative motions when t > 3 (:852-866)."""
     def fwd(_):
         w2c1 = geo.pose_to_w2c(geo.normalize(quats[t - 1]), trans[t - 1])
         w2c2 = geo.pose_to_w2c(geo.normalize(quats[t - 2]), trans[t - 2])
-        w2c = geo.constant_velocity_init(w2c1, w2c2)
+        if multiavg:
+            w2c3 = geo.pose_to_w2c(geo.normalize(quats[t - 3]), trans[t - 3])
+            w2c = jax.lax.cond(
+                t > 3,
+                lambda _: geo.constant_velocity_init_multiavg(w2c1, w2c2, w2c3),
+                lambda _: geo.constant_velocity_init(w2c1, w2c2), None)
+        else:
+            w2c = geo.constant_velocity_init(w2c1, w2c2)
         return geo.rotmat_to_quat(w2c[:3, :3]), w2c[:3, 3]
 
     def copy(_):
@@ -432,7 +441,9 @@ class VTGaussianSLAM:
         boundary = idx_in == 0
 
         # pose init (const velocity), written into traj
-        q0, tr0 = _propagate_pose(self.traj.quats, self.traj.trans, t)
+        q0, tr0 = _propagate_pose(
+            self.traj.quats, self.traj.trans, t,
+            multiavg=bool(tr.get("multiavg", False)))
         self.traj = self.traj.replace(
             quats=self.traj.quats.at[t].set(q0),
             trans=self.traj.trans.at[t].set(tr0))

@@ -305,3 +305,21 @@ def constant_velocity_init(w2c_prev1: jnp.ndarray, w2c_prev2: jnp.ndarray) -> jn
     c2w2 = invert_se3(w2c_prev2)
     init_c2w = c2w1 @ invert_se3(c2w2) @ c2w1
     return invert_se3(init_c2w)
+
+
+def constant_velocity_init_multiavg(
+    w2c_prev1: jnp.ndarray, w2c_prev2: jnp.ndarray, w2c_prev3: jnp.ndarray
+) -> jnp.ndarray:
+    """Two-step-averaged forward propagation:
+    init_c2w = ((c2w2 inv(c2w3) + c2w1 inv(c2w2)) / 2) @ c2w1.
+
+    Parity: the `multiavg` branch of `initialize_camera_pose`
+    (/root/reference/src/vtgaussian_slam.py:852-866) — note the reference
+    averages the two relative-motion matrices ELEMENTWISE (not on the
+    manifold), reproduced verbatim. Off by default in all shipped configs.
+    """
+    c2w1 = invert_se3(w2c_prev1)
+    c2w2 = invert_se3(w2c_prev2)
+    c2w3 = invert_se3(w2c_prev3)
+    avg_rel = 0.5 * (c2w2 @ invert_se3(c2w3) + c2w1 @ invert_se3(c2w2))
+    return invert_se3(avg_rel @ c2w1)

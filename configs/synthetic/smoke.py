@@ -83,6 +83,6 @@ config = dict(
         use_gaussian_splatting_densification=False,
     ),
     viz=dict(render_mode="color"),
-    tpu=dict(capacity_quantum=4096, span_cap=2, max_pairs_per_tile=256,
+    tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=256,
              blend_chunk=64, baseframe_capacity_quantum=8),
 )

@@ -51,7 +51,7 @@ def make_config(num_frames=11, baseframe_every=5, use_gt_poses=False,
                            logit_opacities=0, log_scales=0,
                            cam_unnorm_rots=0.0, cam_trans=0.0),
         ),
-        tpu=dict(capacity_quantum=4096, span_cap=2, max_pairs_per_tile=256,
+        tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=256,
                  blend_chunk=64, baseframe_capacity_quantum=8),
     )
 

@@ -62,9 +62,10 @@ def prepare_config(config: dict) -> dict:
     # TPU-build specific knobs (absent from reference configs; safe defaults)
     tpu = config.setdefault("tpu", {})
     tpu.setdefault("capacity_quantum", 1 << 15)
-    # span 2 (4N pair budget) is quality-equivalent at SLAM splat sizes
-    # (~1-3 px screen radius) and ~40% cheaper to bin/sort than span 3
-    tpu.setdefault("span_cap", 2)
+    # span 3 covers splats up to ~24 px screen radius; span 2 is ~40%
+    # cheaper to bin/sort and safe when splats stay under ~1 tile (high-res
+    # scenes) — opt in per config via tpu.span_cap
+    tpu.setdefault("span_cap", 3)
     tpu.setdefault("max_pairs_per_tile", 512)
     tpu.setdefault("blend_chunk", 128)
     tpu.setdefault("baseframe_capacity_quantum", 64)

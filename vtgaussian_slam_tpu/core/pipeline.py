@@ -73,6 +73,33 @@ def _propagate_pose(quats, trans, t, multiavg: bool = False):
 
 
 @jax.jit
+def _traj_write(quats, trans, t, q, tr):
+    """Write one pose at a TRACED index (python-int indexing would bake the
+    frame id into the op as a constant -> one XLA compile per frame)."""
+    return quats.at[t].set(q), trans.at[t].set(tr)
+
+
+@jax.jit
+def _traj_read(quats, trans, t):
+    return quats[t], trans[t]
+
+
+@jax.jit
+def _traj_w2c(quats, trans, t):
+    return geo.pose_to_w2c(geo.normalize(quats[t]), trans[t])
+
+
+@jax.jit
+def _ring_set(buf, i, value):
+    return buf.at[i].set(value)
+
+
+@jax.jit
+def _gather_rows(arr, ids):
+    return arr[ids]
+
+
+@jax.jit
 def _pose_from_rel(quats, trans, t, rel_c2w):
     """Odometer-relative init: w2c_t = inv(c2w_{t-1} @ rel) (:822-837)."""
     w2c1 = geo.pose_to_w2c(geo.normalize(quats[t - 1]), trans[t - 1])
@@ -98,9 +125,10 @@ class BaseframeStore:
             self.depths = jnp.pad(self.depths, ((0, self.quantum), (0, 0), (0, 0)))
             self.quats = jnp.pad(self.quats, ((0, self.quantum), (0, 0)))
             self.trans = jnp.pad(self.trans, ((0, self.quantum), (0, 0)))
-        self.depths = self.depths.at[i].set(depth)
-        self.quats = self.quats.at[i].set(quat)
-        self.trans = self.trans.at[i].set(trans)
+        idx = jnp.asarray(i, jnp.int32)
+        self.depths = _ring_set(self.depths, idx, depth)
+        self.quats = _ring_set(self.quats, idx, quat)
+        self.trans = _ring_set(self.trans, idx, trans)
         self.ids.append(frame_id)
 
     def w2cs(self):
@@ -336,12 +364,11 @@ class VTGaussianSLAM:
         self.num_gs_per_frame_ls.append(n)
 
     def _ring_write(self, idx_in_sec: int, frame: Frame):
-        self.ring_colors = self.ring_colors.at[idx_in_sec].set(frame.color)
-        self.ring_depths = self.ring_depths.at[idx_in_sec].set(frame.depth)
+        self.ring_colors = _ring_set(self.ring_colors, idx_in_sec, frame.color)
+        self.ring_depths = _ring_set(self.ring_depths, idx_in_sec, frame.depth)
 
     def _traj_w2c_np(self, t: int) -> np.ndarray:
-        q = geo.normalize(self.traj.quats[t])
-        return np.asarray(geo.pose_to_w2c(q, self.traj.trans[t]))
+        return np.asarray(_traj_w2c(self.traj.quats, self.traj.trans, t))
 
     # ------------------------------------------------------------------
     def _select_boundary_sections(self, t, frame, cand_w2c) -> tuple[list[int], int]:
@@ -444,9 +471,8 @@ class VTGaussianSLAM:
         q0, tr0 = _propagate_pose(
             self.traj.quats, self.traj.trans, t,
             multiavg=bool(tr.get("multiavg", False)))
-        self.traj = self.traj.replace(
-            quats=self.traj.quats.at[t].set(q0),
-            trans=self.traj.trans.at[t].set(tr0))
+        nq, nt = _traj_write(self.traj.quats, self.traj.trans, t, q0, tr0)
+        self.traj = self.traj.replace(quats=nq, trans=nt)
 
         # far-depth filter (non-replica, :1428-1436): mean of valid depths,
         # threshold = factor * mean of the 30 largest per-frame means
@@ -495,9 +521,9 @@ class VTGaussianSLAM:
             if odometer_rel is not None:
                 q0, tr0 = _pose_from_rel(self.traj.quats, self.traj.trans,
                                          t, odometer_rel)
-                self.traj = self.traj.replace(
-                    quats=self.traj.quats.at[t].set(q0),
-                    trans=self.traj.trans.at[t].set(tr0))
+                nq, nt = _traj_write(self.traj.quats, self.traj.trans, t,
+                                     q0, tr0)
+                self.traj = self.traj.replace(quats=nq, trans=nt)
 
         H, W = self.cam.height, self.cam.width
         ones_mask = jnp.ones((H, W), bool)
@@ -594,9 +620,9 @@ class VTGaussianSLAM:
             self.frame_depth_loss.append(float(state.depth_loss))
 
         # commit best pose
-        self.traj = self.traj.replace(
-            quats=self.traj.quats.at[t].set(state.best_quat),
-            trans=self.traj.trans.at[t].set(state.best_trans))
+        nq, nt = _traj_write(self.traj.quats, self.traj.trans, t,
+                             state.best_quat, state.best_trans)
+        self.traj = self.traj.replace(quats=nq, trans=nt)
         return sec_id
 
     def _overlap_p2p_target(self, frame_id: int) -> P2PTarget:
@@ -632,7 +658,7 @@ class VTGaussianSLAM:
         """Insert new Gaussians into the current section (:2346-2390)."""
         bf_idx = t // self.bfe
         sec = self.sections[bf_idx]
-        quat, trans = self.traj.quats[t], self.traj.trans[t]
+        quat, trans = _traj_read(self.traj.quats, self.traj.trans, t)
         cand = densify_candidates_base(
             sec.params, sec.active_mask(), quat, trans, frame, self.cam,
             self.config["mapping"]["sil_thres"], self.backend_kwargs)
@@ -654,8 +680,9 @@ class VTGaussianSLAM:
         need = int(sec.n_active) + n_new
         if need > sec.capacity:
             sec = G.repad_section(sec, G.round_capacity(need, self.quantum))
+        ts = jnp.asarray(float(t), jnp.float32)
         for pts, cols, msq, keep in parts:
-            sec = G.append_gaussians(sec, pts, cols, msq, keep, float(t))
+            sec = G.append_gaussians(sec, pts, cols, msq, keep, ts)
         self.sections[bf_idx] = sec
         self.num_gs_per_frame_ls.append(n_new)
         return n_new
@@ -736,7 +763,8 @@ class VTGaussianSLAM:
             count = idx_in + 1
         kf = KeyframeBuffer(
             colors=colors, depths=depths,
-            quats=self.traj.quats[ids], trans=self.traj.trans[ids],
+            quats=_gather_rows(self.traj.quats, ids),
+            trans=_gather_rows(self.traj.trans, ids),
             frame_ids=ids, count=jnp.asarray(count, jnp.int32))
 
         mcfg = MappingConfig(
@@ -786,7 +814,8 @@ class VTGaussianSLAM:
         dpts, dcols, dmsq, dkeep = base_frame_pointcloud(
             dframe, dcam, w2c, mask=jnp.asarray(dmask))
         parts.append((dpts, dcols, dmsq, dkeep))
-        self._new_section_from_parts(parts, timestep=float(t),
+        self._new_section_from_parts(parts,
+                                     timestep=jnp.asarray(float(t), jnp.float32),
                                      depth_max=float(jnp.max(frame.depth)))
 
     # ------------------------------------------------------------------
@@ -805,9 +834,9 @@ class VTGaussianSLAM:
             self._track(t, frame, color_np)
         elif t > 0:
             quat, trans = geo.w2c_to_pose(jnp.asarray(gt_w2c, jnp.float32))
-            self.traj = self.traj.replace(
-                quats=self.traj.quats.at[t].set(quat),
-                trans=self.traj.trans.at[t].set(trans))
+            nq, nt = _traj_write(self.traj.quats, self.traj.trans, t, quat,
+                                 trans)
+            self.traj = self.traj.replace(quats=nq, trans=nt)
 
         # section spawn at boundaries
         if t > 0 and boundary:
@@ -847,8 +876,8 @@ class VTGaussianSLAM:
                 self.dataset_name != "replica"
                 and t % cfg["overlap_every"] == 0)
             if is_base:
-                self.baseframes.append(
-                    t, frame.depth[0], self.traj.quats[t], self.traj.trans[t])
+                bq, bt = _traj_read(self.traj.quats, self.traj.trans, t)
+                self.baseframes.append(t, frame.depth[0], bq, bt)
 
     def run(self, progress=True):
         cfg = self.config

@@ -30,7 +30,7 @@ config = dict(
     baseframe_every=20,
     data=dict(
         dataset_name="synthetic",
-        synthetic=dict(num_frames=60, height=240, width=320, seed=1,
+        synthetic=dict(num_frames=30, height=240, width=320, seed=1,
                        motion_scale=0.2),
         sequence=scene_name,
         desired_image_height=240,

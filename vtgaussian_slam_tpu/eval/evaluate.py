@@ -47,6 +47,10 @@ def eval_sequence(
         sections.append(sec)
         traj = tr  # reference uses the LAST section's trajectory (:525-541)
 
+    if backend_kwargs is None:
+        # Pallas blend on accelerators, XLA blend on CPU
+        backend_kwargs = {"use_pallas": jax.default_backend() != "cpu",
+                          "max_pairs_per_tile": 512}
     render_fn = jax.jit(
         lambda prm, act, q, t, cam: render_slam(prm, act, q, t, cam,
                                                 backend_kwargs),

@@ -31,7 +31,7 @@ config = dict(
     data=dict(
         dataset_name="synthetic",
         synthetic=dict(num_frames=30, height=240, width=320, seed=1,
-                       motion_scale=0.2),
+                       motion_scale=0.08),
         sequence=scene_name,
         desired_image_height=240,
         desired_image_width=320,

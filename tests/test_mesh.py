@@ -97,6 +97,146 @@ class TestCleanMesh:
         assert np.all(pts[:, 0] + pts[:, 1] <= 1.0 + 1e-9)
 
 
+def box_mesh(half=1.5, max_edge=0.12):
+    """Closed axis-aligned cube room, subdivided for the rasterizer."""
+    from vtgaussian_slam_tpu.eval.mesh import subdivide_to_edge
+
+    s = half
+    v = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                  for z in (-s, s)], np.float64)
+    quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1), (2, 3, 7, 6),
+             (0, 2, 6, 4), (1, 5, 7, 3)]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    return subdivide_to_edge(v, np.array(faces), max_edge, max_rounds=8)
+
+
+class TestMeshDepthRender:
+    def _cam(self):
+        return np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]],
+                        np.float32)
+
+    def test_frontal_quad_depth(self):
+        from vtgaussian_slam_tpu.eval.mesh import render_mesh_depth
+        import jax.numpy as jnp
+
+        # quad [-0.1, 0.1]^2 at z=2 -> ~12 px across at fx=60
+        verts = jnp.asarray([[-0.1, -0.1, 2.0], [0.1, -0.1, 2.0],
+                             [0.1, 0.1, 2.0], [-0.1, 0.1, 2.0]], jnp.float32)
+        faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        d = np.asarray(render_mesh_depth(verts, faces,
+                                         jnp.eye(4, dtype=jnp.float32),
+                                         jnp.asarray(self._cam()), 48, 64))
+        assert abs(d[24, 32] - 2.0) < 1e-4       # center covered at z=2
+        assert d[2, 2] == 0.0                    # background empty
+        inside = d[d > 0]
+        assert 30 < inside.size < 100            # ~7x7 px footprint
+        np.testing.assert_allclose(inside, 2.0, atol=1e-4)
+
+    def test_occlusion_scatter_min(self):
+        from vtgaussian_slam_tpu.eval.mesh import render_mesh_depth
+        import jax.numpy as jnp
+
+        def quad(z, r):
+            return [[-r, -r, z], [r, -r, z], [r, r, z], [-r, r, z]]
+
+        # far quad: +-6 px at fx=60; near quad: +-2 px
+        verts = jnp.asarray(quad(2.0, 0.2) + quad(1.5, 0.05), jnp.float32)
+        faces = jnp.asarray([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7]],
+                            jnp.int32)
+        d = np.asarray(render_mesh_depth(verts, faces,
+                                         jnp.eye(4, dtype=jnp.float32),
+                                         jnp.asarray(self._cam()), 48, 64))
+        assert abs(d[24, 32] - 1.5) < 1e-4       # near quad wins the center
+        assert abs(d[24, 32 + 5] - 2.0) < 1e-4   # far quad visible outside it
+
+    def test_perspective_correct_slant(self):
+        from vtgaussian_slam_tpu.eval.mesh import (render_mesh_depth,
+                                                   subdivide_to_edge)
+        import jax.numpy as jnp
+
+        # plane z = 2 + x, x in [-0.2, 0.2]
+        v = np.array([[-0.2, -0.2, 1.8], [0.2, -0.2, 2.2],
+                      [0.2, 0.2, 2.2], [-0.2, 0.2, 1.8]])
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        v, f = subdivide_to_edge(v, f, 0.05)
+        d = np.asarray(render_mesh_depth(jnp.asarray(v), jnp.asarray(f),
+                                         jnp.eye(4, dtype=jnp.float32),
+                                         jnp.asarray(self._cam()), 48, 64))
+        # analytic: pixel u -> ray x/z=(u-cx)/fx, surface z=2+x
+        #   z = 2 / (1 - (u-cx)/fx)
+        for u in (30, 32, 34):
+            expect = 2.0 / (1.0 - (u - 32) / 60.0)
+            assert abs(d[24, u] - expect) < 2e-3
+
+
+class TestSubdivideICP:
+    def test_subdivide_edges_shrink(self):
+        from vtgaussian_slam_tpu.eval.mesh import subdivide_to_edge
+
+        v = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]])
+        f = np.array([[0, 1, 2]])
+        v2, f2 = subdivide_to_edge(v, f, 0.3, max_rounds=8)
+        e = v2[f2]
+        longest = np.linalg.norm(e[:, 0] - e[:, 1], axis=1)
+        assert longest.max() <= 0.3 + 1e-6
+        # total area preserved
+        def area(vv, ff):
+            p = vv[ff]
+            return (0.5 * np.linalg.norm(
+                np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]), axis=1)).sum()
+        np.testing.assert_allclose(area(v2, f2), 0.5, rtol=1e-6)
+
+    def test_icp_recovers_small_transform(self):
+        from vtgaussian_slam_tpu.eval.mesh import icp_align
+
+        rng = np.random.default_rng(0)
+        src = rng.uniform(-1, 1, (2000, 3))
+        ang = np.deg2rad(3.0)
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        t = np.array([0.05, -0.03, 0.02])
+        dst = src @ R.T + t
+        T = icp_align(src, dst)
+        aligned = src @ T[:3, :3].T + T[:3, 3]
+        assert np.abs(aligned - dst).max() < 1e-3
+
+
+class Test2DMetric:
+    def test_identical_meshes_zero(self):
+        from vtgaussian_slam_tpu.eval.mesh import calc_2d_metric
+
+        v, f = box_mesh()
+        out = calc_2d_metric(v, f, v, f, n_imgs=3, align=False, seed=1,
+                             h=100, w=100, focal=50.0, max_edge=0.12)
+        assert out["depth l1"] == 0.0
+
+    def test_shifted_rec_detected(self):
+        from vtgaussian_slam_tpu.eval.mesh import calc_2d_metric
+
+        v, f = box_mesh()
+        out = calc_2d_metric(v + np.array([0.05, 0, 0]), f, v, f,
+                             n_imgs=3, align=False, seed=1,
+                             h=100, w=100, focal=50.0, max_edge=0.12)
+        assert 0.5 < out["depth l1"] < 30.0
+
+    def test_unseen_rejection(self):
+        from vtgaussian_slam_tpu.eval.mesh import calc_2d_metric
+
+        v, f = box_mesh()
+        # unseen points densely covering every direction -> no valid view
+        g = np.arange(400) + 0.5
+        phi = np.arccos(1 - 2 * g / 400)
+        theta = np.pi * (1 + 5**0.5) * g
+        sph = 5.0 * np.stack([np.sin(phi) * np.cos(theta),
+                              np.sin(phi) * np.sin(theta), np.cos(phi)], -1)
+        out = calc_2d_metric(v, f, v, f, pc_unseen=sph, n_imgs=2,
+                             align=False, seed=1, h=100, w=100, focal=50.0,
+                             max_edge=0.12, max_tries=20)
+        assert np.isnan(out["depth l1"])
+
+
 class TestLPIPS:
     def test_architecture_with_random_weights(self, tmp_path):
         import numpy as np

@@ -275,6 +275,259 @@ def accuracy_completion(rec_verts, rec_faces, gt_verts, gt_faces,
     return float(acc), float(comp)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "span", "chunk"))
+def render_mesh_depth(verts: jnp.ndarray, faces: jnp.ndarray,
+                      w2c: jnp.ndarray, K: jnp.ndarray,
+                      h: int, w: int, span: int = 16,
+                      chunk: int = 8192) -> jnp.ndarray:
+    """Z-buffer depth render of a triangle mesh (TPU-native replacement for
+    the Open3D offscreen depth capture in
+    /root/reference/utils/evaluate_reconstruction.py:152-185).
+
+    Rasterizes each face over a static `span`x`span` pixel window anchored at
+    its screen bbox corner (perspective-correct barycentric depth) and
+    scatter-mins into the z-buffer, `chunk` faces at a time inside a
+    `lax.fori_loop` to bound memory. Faces whose screen extent exceeds `span`
+    pixels are only partially filled — pre-subdivide with
+    `subdivide_to_edge` (done by `calc_2d_metric`). Returns (h, w) depth in
+    meters, 0 where no surface.
+    """
+    near = 1e-4
+    F0 = faces.shape[0]
+    if F0 == 0:  # static: empty mesh renders empty
+        return jnp.zeros((h, w), jnp.float32)
+    n_chunks = -(-F0 // chunk)
+    pad = n_chunks * chunk - F0
+    faces = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)]) if pad else faces
+
+    vc = verts @ w2c[:3, :3].T + w2c[:3, 3]
+    z = vc[:, 2]
+    front = z > near
+    zs = jnp.where(front, z, 1.0)
+    u = K[0, 0] * vc[:, 0] / zs + K[0, 2]
+    v = K[1, 1] * vc[:, 1] / zs + K[1, 2]
+    inv_z = jnp.where(front, 1.0 / zs, 0.0)
+
+    sy = jnp.arange(span, dtype=jnp.int32)[:, None]
+    sx = jnp.arange(span, dtype=jnp.int32)[None, :]
+
+    def body(c, zbuf):
+        f = jax.lax.dynamic_slice(faces, (c * chunk, 0), (chunk, 3))
+        fvalid = (jnp.arange(chunk) + c * chunk) < F0
+        i0, i1, i2 = f[:, 0], f[:, 1], f[:, 2]
+        u0, u1, u2 = u[i0], u[i1], u[i2]
+        v0, v1, v2 = v[i0], v[i1], v[i2]
+        w0, w1, w2 = inv_z[i0], inv_z[i1], inv_z[i2]
+        fvalid &= front[i0] & front[i1] & front[i2]
+
+        xi0 = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(u0, u1), u2)),
+                       0, w - 1).astype(jnp.int32)
+        yi0 = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(v0, v1), v2)),
+                       0, h - 1).astype(jnp.int32)
+        px = (xi0[:, None, None] + sx[None]).astype(jnp.float32)
+        py = (yi0[:, None, None] + sy[None]).astype(jnp.float32)
+
+        area = (u1 - u0) * (v2 - v0) - (v1 - v0) * (u2 - u0)
+        ok_area = jnp.abs(area) > 1e-12
+        inv_area = 1.0 / jnp.where(ok_area, area, 1.0)
+
+        def edge(ua, va, ub, vb):
+            return ((ub - ua)[:, None, None] * (py - va[:, None, None])
+                    - (vb - va)[:, None, None] * (px - ua[:, None, None]))
+
+        l0 = edge(u1, v1, u2, v2) * inv_area[:, None, None]
+        l1 = edge(u2, v2, u0, v0) * inv_area[:, None, None]
+        l2 = edge(u0, v0, u1, v1) * inv_area[:, None, None]
+        eps = -1e-6
+        inside = (l0 >= eps) & (l1 >= eps) & (l2 >= eps)
+        inside &= (fvalid & ok_area)[:, None, None]
+        inside &= (px < w) & (py < h)
+
+        inv_depth = (l0 * w0[:, None, None] + l1 * w1[:, None, None]
+                     + l2 * w2[:, None, None])
+        inside &= inv_depth > near
+        depth = 1.0 / jnp.where(inside, inv_depth, 1.0)
+        depth = jnp.where(inside, depth, jnp.inf)
+
+        flat = (py.astype(jnp.int32) * w + px.astype(jnp.int32)).reshape(-1)
+        return zbuf.at[flat].min(depth.reshape(-1), mode="drop")
+
+    zbuf = jnp.full((h * w,), jnp.inf, jnp.float32)
+    zbuf = jax.lax.fori_loop(0, n_chunks, body, zbuf)
+    return jnp.where(jnp.isfinite(zbuf), zbuf, 0.0).reshape(h, w)
+
+
+def subdivide_to_edge(verts: np.ndarray, faces: np.ndarray,
+                      max_edge: float, max_rounds: int = 4):
+    """Midpoint 1->4 subdivision of faces whose longest edge exceeds
+    `max_edge` (keeps the rasterizer's fixed screen window valid)."""
+    verts = np.asarray(verts, np.float64)
+    faces = np.asarray(faces, np.int64)
+    for _ in range(max_rounds):
+        if len(faces) == 0:
+            break
+        e = verts[faces]
+        longest = np.maximum(
+            np.linalg.norm(e[:, 0] - e[:, 1], axis=1),
+            np.maximum(np.linalg.norm(e[:, 1] - e[:, 2], axis=1),
+                       np.linalg.norm(e[:, 2] - e[:, 0], axis=1)))
+        big = longest > max_edge
+        if not big.any():
+            break
+        keep = faces[~big]
+        fb = faces[big]
+        v0, v1, v2 = verts[fb[:, 0]], verts[fb[:, 1]], verts[fb[:, 2]]
+        m01, m12, m20 = (v0 + v1) / 2, (v1 + v2) / 2, (v2 + v0) / 2
+        base = len(verts)
+        nb = len(fb)
+        verts = np.concatenate([verts, m01, m12, m20])
+        a = fb[:, 0]
+        b = fb[:, 1]
+        c = fb[:, 2]
+        i01 = base + np.arange(nb)
+        i12 = base + nb + np.arange(nb)
+        i20 = base + 2 * nb + np.arange(nb)
+        new = np.concatenate([
+            np.stack([a, i01, i20], 1), np.stack([i01, b, i12], 1),
+            np.stack([i20, i12, c], 1), np.stack([i01, i12, i20], 1)])
+        faces = np.concatenate([keep, new])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+
+
+def icp_align(src_pts: np.ndarray, dst_pts: np.ndarray,
+              threshold: float = 0.1, iters: int = 30) -> np.ndarray:
+    """Point-to-point ICP: 4x4 transform aligning src onto dst (replaces the
+    Open3D registration_icp call in evaluate_reconstruction.py:17-35)."""
+    from scipy.spatial import cKDTree
+
+    T = np.eye(4)
+    cur = src_pts.copy()
+    tree = cKDTree(dst_pts)
+    prev_err = np.inf
+    for _ in range(iters):
+        d, idx = tree.query(cur)
+        m = d < threshold
+        if m.sum() < 10:
+            break
+        p, q = cur[m], dst_pts[idx[m]]
+        pc, qc = p.mean(0), q.mean(0)
+        U, _, Vt = np.linalg.svd((p - pc).T @ (q - qc))
+        R = Vt.T @ U.T
+        if np.linalg.det(R) < 0:
+            Vt[-1] *= -1
+            R = Vt.T @ U.T
+        t = qc - R @ pc
+        step = np.eye(4)
+        step[:3, :3], step[:3, 3] = R, t
+        T = step @ T
+        cur = cur @ R.T + t
+        err = d[m].mean()
+        if prev_err - err < 1e-7:
+            break
+        prev_err = err
+    return T
+
+
+def _oriented_camera_box(gt_verts: np.ndarray):
+    """PCA oriented bounding box of the GT mesh, shrunk to the room's vacant
+    interior the same way the reference does (extents x [0.3, 0.7, 0.7],
+    +0.4 m lift; evaluate_reconstruction.py:167-175)."""
+    c = gt_verts.mean(0)
+    centered = gt_verts - c
+    _, _, Vt = np.linalg.svd(centered[:: max(1, len(gt_verts) // 50000)],
+                             full_matrices=False)
+    proj = centered @ Vt.T
+    lo, hi = proj.min(0), proj.max(0)
+    extents = (hi - lo) * np.array([0.3, 0.7, 0.7])
+    transform = np.eye(4)
+    transform[:3, :3] = Vt.T
+    transform[:3, 3] = c + Vt.T @ ((lo + hi) / 2)
+    transform[2, 3] += 0.4
+    return extents, transform
+
+
+def _lookat_w2c(origin: np.ndarray, target: np.ndarray,
+                up=(0.0, 0.0, -1.0)) -> np.ndarray:
+    fwd = target - origin
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+    right = np.cross(np.asarray(up, np.float64), fwd)
+    n = np.linalg.norm(right)
+    if n < 1e-6:
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        n = np.linalg.norm(right)
+    right /= n
+    down = np.cross(fwd, right)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, origin
+    return np.linalg.inv(c2w)
+
+
+def calc_2d_metric(rec_verts, rec_faces, gt_verts, gt_faces,
+                   pc_unseen: np.ndarray | None = None,
+                   n_imgs: int = 1000, align: bool = True, seed: int = 0,
+                   h: int = 500, w: int = 500, focal: float = 300.0,
+                   max_edge: float = 0.05, max_tries: int = 200) -> dict:
+    """Unseen-aware 2D depth-L1 between reconstructed and GT meshes
+    (/root/reference/utils/evaluate_reconstruction.py:97-197): sample
+    `n_imgs` random in-room camera views (origin uniform in the GT room's
+    shrunken oriented box, look-at a random direction), reject views that
+    project any `pc_unseen` point in front of the camera, render both meshes'
+    depth, and average |gt - rec| over pixels the reconstruction covers.
+    Returns {"depth l1": cm}.
+
+    Deviation: the camera convention is this framework's +z-forward w2c
+    (the reference flips axes to satisfy Open3D/OpenGL); the ray
+    distribution and the metric are identical.
+    """
+    rng = np.random.default_rng(seed)
+    K = np.array([[focal, 0, w / 2.0 - 0.5],
+                  [0, focal, h / 2.0 - 0.5], [0, 0, 1.0]], np.float32)
+
+    if align and len(rec_verts) and len(gt_verts):
+        T = icp_align(
+            rec_verts[:: max(1, len(rec_verts) // 20000)].astype(np.float64),
+            gt_verts[:: max(1, len(gt_verts) // 20000)].astype(np.float64))
+        rec_verts = rec_verts @ T[:3, :3].T + T[:3, 3]
+
+    rec_verts, rec_faces = subdivide_to_edge(rec_verts, rec_faces, max_edge)
+    gt_verts, gt_faces = subdivide_to_edge(gt_verts, gt_faces, max_edge)
+    rv, rf = jnp.asarray(rec_verts), jnp.asarray(rec_faces)
+    gv, gf = jnp.asarray(gt_verts), jnp.asarray(gt_faces)
+    extents, transform = _oriented_camera_box(np.asarray(gt_verts))
+
+    errors = []
+    for _ in range(n_imgs):
+        w2c = None
+        for _try in range(max_tries):
+            local = (rng.uniform(-0.5, 0.5, 3)) * extents
+            origin = transform[:3, :3] @ local + transform[:3, 3]
+            target = rng.uniform(-10000, 10000, 3)
+            cand = _lookat_w2c(origin, target)
+            if pc_unseen is not None and len(pc_unseen):
+                pc = pc_unseen @ cand[:3, :3].T + cand[:3, 3]
+                zp = pc[:, 2]
+                uv = pc[:, :2] / np.maximum(zp[:, None], 1e-5)
+                uu = uv[:, 0] * focal + K[0, 2]
+                vv = uv[:, 1] * focal + K[1, 2]
+                seen = ((zp > 0) & (uu > 0) & (uu < w)
+                        & (vv > 0) & (vv < h)).any()
+                if seen:
+                    continue
+            w2c = cand
+            break
+        if w2c is None:
+            continue
+        w2c_j = jnp.asarray(w2c, jnp.float32)
+        gt_d = np.asarray(render_mesh_depth(gv, gf, w2c_j, K, h, w))
+        rec_d = np.asarray(render_mesh_depth(rv, rf, w2c_j, K, h, w))
+        m = rec_d > 0
+        if m.sum() > 0:
+            errors.append(np.abs(gt_d[m] - rec_d[m]).mean())
+    return {"depth l1": float(np.mean(errors) * 100) if errors
+            else float("nan")}
+
+
 def eval_recon_from_renders(render_fn, poses_w2c, intrinsics, num_frames,
                             voxel_length: float = 5.0 / 512,
                             sdf_trunc: float = 0.04,

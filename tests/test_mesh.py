@@ -237,6 +237,57 @@ class Test2DMetric:
         assert np.isnan(out["depth l1"])
 
 
+class TestPlyIO:
+    def test_roundtrip_binary(self, tmp_path):
+        from vtgaussian_slam_tpu.eval.plyio import read_ply, write_ply
+
+        v, f = box_mesh(max_edge=2.0)
+        rng = np.random.default_rng(0)
+        c = rng.uniform(size=(len(v), 3))
+        p = str(tmp_path / "m.ply")
+        write_ply(p, v, f, c)
+        v2, f2, c2 = read_ply(p)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
+        np.testing.assert_array_equal(f2, f)
+        np.testing.assert_allclose(c2, c, atol=1.0 / 255)
+
+    def test_roundtrip_no_colors(self, tmp_path):
+        from vtgaussian_slam_tpu.eval.plyio import read_ply, write_ply
+
+        v, f = box_mesh(max_edge=2.0)
+        p = str(tmp_path / "m.ply")
+        write_ply(p, v, f)
+        v2, f2, c2 = read_ply(p)
+        np.testing.assert_allclose(v2, v, atol=1e-6)
+        np.testing.assert_array_equal(f2, f)
+        assert c2 is None
+
+    def test_ascii_with_quads(self, tmp_path):
+        from vtgaussian_slam_tpu.eval.plyio import read_ply
+
+        p = tmp_path / "a.ply"
+        p.write_text(
+            "ply\nformat ascii 1.0\ncomment test\n"
+            "element vertex 4\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\nend_header\n"
+            "0 0 0\n1 0 0\n1 1 0\n0 1 0\n"
+            "4 0 1 2 3\n")
+        v, f, c = read_ply(str(p))
+        assert v.shape == (4, 3) and c is None
+        # quad fan-triangulated into 2 tris
+        np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
+
+    def test_bad_magic(self, tmp_path):
+        from vtgaussian_slam_tpu.eval.plyio import read_ply
+
+        p = tmp_path / "bad.ply"
+        p.write_bytes(b"obj\nnot a ply\n")
+        with pytest.raises(ValueError):
+            read_ply(str(p))
+
+
 class TestLPIPS:
     def test_architecture_with_random_weights(self, tmp_path):
         import numpy as np

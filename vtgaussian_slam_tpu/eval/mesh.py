@@ -536,6 +536,9 @@ def eval_recon_from_renders(render_fn, poses_w2c, intrinsics, num_frames,
     the `eval_recon` capability (/root/reference/utils/eval_helpers.py:633).
 
     `render_fn(t) -> (color (H,W,3) [0,1], depth (H,W))`.
+
+    Note: `sdf_trunc` must exceed `voxel_length` (ideally >= 2x) or no voxel
+    straddles the truncation band and the extracted mesh is empty.
     """
     # first pass: scene bounds from backprojected depths (subsampled)
     pts_all = []

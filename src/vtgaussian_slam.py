@@ -77,6 +77,9 @@ def main():
     print(f"Average Mapping/Iteration Time: {stats['avg_mapping_iter_ms']} ms")
     print(f"Average Mapping/Frame Time: {stats['avg_mapping_frame_s']} s")
     print("Number of Gaussians:", stats["num_gaussians"])
+    print("Max tile pair-budget truncation:",
+          f"{stats['tile_truncation_frac_max']:.3f}",
+          "(near 1.0 -> raise tpu.max_pairs_per_tile)")
 
     params_ls = engine.export_params_ls()
     np.save(os.path.join(results_dir, "params_ls.npy"),

@@ -66,6 +66,9 @@ def prepare_config(config: dict) -> dict:
     # cheaper to bin/sort and safe when splats stay under ~1 tile (high-res
     # scenes) — opt in per config via tpu.span_cap
     tpu.setdefault("span_cap", 3)
+    # per-tile pair budget: must exceed the scene's per-tile depth
+    # complexity or silhouettes develop false holes and densification
+    # over-adds (watch final_stats tile_truncation_frac_max)
     tpu.setdefault("max_pairs_per_tile", 512)
     tpu.setdefault("blend_chunk", 128)
     tpu.setdefault("baseframe_capacity_quantum", 64)

@@ -271,6 +271,12 @@ class VTGaussianSLAM:
             "tracking_frame_time_sum": 0.0, "tracking_frame_count": 0,
             "mapping_iter_time_sum": 0.0, "mapping_iter_count": 0,
             "mapping_frame_time_sum": 0.0, "mapping_frame_count": 0,
+            # fraction of tiles whose pair list hit max_pairs_per_tile —
+            # sustained values near 1.0 mean the static pair budget is below
+            # the scene's depth complexity: silhouettes develop false holes,
+            # densification over-adds, and map quality collapses. Raise
+            # tpu.max_pairs_per_tile when this is high.
+            "tile_truncation_frac_max": 0.0,
         }
 
         self._init_first_frame(color0, depth0)
@@ -435,11 +441,15 @@ class VTGaussianSLAM:
         if self.config["gaussian_distribution"] == "isotropic" and \
                 self.config["tpu"].get("track_cache", True):
             bk = dict(self.backend_kwargs)
+            mpt = bk.get("max_pairs_per_tile", 512)
             cache = build_track_cache(
                 sec.params, sec.active_mask(), state.quat, state.trans,
                 self.cam, span_cap=bk.get("span_cap", 3),
-                max_pairs_per_tile=bk.get("max_pairs_per_tile", 512),
+                max_pairs_per_tile=mpt,
                 chunk=bk.get("chunk", 128))
+            trunc = float((np.asarray(cache.counts) >= mpt).mean())
+            self.stats["tile_truncation_frac_max"] = max(
+                self.stats["tile_truncation_frac_max"], trunc)
             state, im_h, d_h = track_frame_cached(
                 cache, state, frame, aux_mask, p2p_t, self.cam, tcfg)
         else:
@@ -940,6 +950,7 @@ class VTGaussianSLAM:
             "avg_mapping_frame_s": s["mapping_frame_time_sum"]
             / max(s["mapping_frame_count"], 1),
             "num_gaussians": sum(int(sec.n_active) for sec in self.sections),
+            "tile_truncation_frac_max": s["tile_truncation_frac_max"],
         }
 
 

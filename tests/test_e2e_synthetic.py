@@ -127,6 +127,30 @@ class TestTrackedRun:
         # synthetic room spans ~6m; tracked ATE must be far under motion scale
         assert ate < 0.05, ate
 
+    def test_eval_recon_exports_scored_mesh(self, gt_pose_run, tmp_path):
+        """Render -> TSDF-fuse -> clean -> .ply export -> self-score."""
+        from vtgaussian_slam_tpu.eval import eval_recon
+        from vtgaussian_slam_tpu.eval.plyio import read_ply
+
+        eng = gt_pose_run
+        params_ls = eng.export_params_ls()
+        out = eval_recon(eng.dataset, params_ls, 4, str(tmp_path),
+                         eval_every=1, baseframe_every=eng.bfe,
+                         voxel_length=0.05, sdf_trunc=0.12,
+                         backend_kwargs={"use_pallas": False,
+                                         "max_pairs_per_tile": 256})
+        assert out["n_faces"] > 50
+        v, f, c = read_ply(out["mesh_path"])
+        assert len(v) == out["n_verts"] and c is not None
+        scored = eval_recon(eng.dataset, params_ls, 4, str(tmp_path / "s"),
+                            eval_every=1, baseframe_every=eng.bfe,
+                            voxel_length=0.05, sdf_trunc=0.12,
+                            gt_mesh_path=out["mesh_path"],
+                            backend_kwargs={"use_pallas": False,
+                                            "max_pairs_per_tile": 256})
+        # identical fusion scored against itself: only sampling noise
+        assert scored["accuracy_cm"] < 3.0 and scored["completion_cm"] < 3.0
+
     def test_densification_grew_sections(self, tracked_run):
         # later frames should have added non-presence Gaussians
         assert any(n > 0 for n in tracked_run.num_gs_per_frame_ls[3:])

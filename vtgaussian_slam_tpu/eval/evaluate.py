@@ -151,6 +151,103 @@ def eval_sequence(
     return results
 
 
+def eval_recon(
+    dataset,
+    params_ls: list[dict],
+    num_frames: int,
+    eval_dir: str,
+    eval_every: int = 1,
+    baseframe_every: int = 40,
+    sil_thres: float = 0.5,
+    voxel_length: float = 5.0 / 512,
+    sdf_trunc: float = 0.04,
+    gt_mesh_path: str | None = None,
+    unseen_pc_path: str | None = None,
+    n_2d_views: int = 0,
+    backend_kwargs: dict | None = None,
+) -> dict:
+    """Mesh reconstruction evaluation (parity with `eval_recon`,
+    /root/reference/utils/eval_helpers.py:633-777): render each frame's
+    RGB-D from its section at the estimated pose, mask depth where the
+    silhouette is unreliable, TSDF-fuse, extract + clean the mesh, export
+    `recon/mesh.ply`, and — when a GT mesh is given — score
+    accuracy/completion and (optionally) the unseen-aware 2D depth-L1.
+    """
+    from .mesh import (TSDFVolume, accuracy_completion, calc_2d_metric,
+                       clean_mesh)
+    from .plyio import read_ply, write_ply
+
+    os.makedirs(os.path.join(eval_dir, "recon"), exist_ok=True)
+    sections, traj = [], None
+    for p in params_ls:
+        sec, tr = G.section_from_numpy_params(p)
+        sections.append(sec)
+        traj = tr
+
+    if backend_kwargs is None:
+        backend_kwargs = {"use_pallas": jax.default_backend() != "cpu",
+                          "max_pairs_per_tile": 512}
+    render_fn = jax.jit(
+        lambda prm, act, q, t, cam: render_slam(prm, act, q, t, cam,
+                                                backend_kwargs),
+        static_argnames=("cam",))
+
+    color0, _, intrinsics, _ = dataset[0]
+    K = np.asarray(intrinsics)[:3, :3]
+    cam = setup_camera(color0.shape[1], color0.shape[0], K)
+
+    # pass 1: render frames, collect bounds
+    frames, poses = [], []
+    pts_all = []
+    for t in range(num_frames):
+        if t != 0 and t % eval_every != 0:
+            continue
+        sec = sections[min(t // baseframe_every, len(sections) - 1)]
+        r = render_fn(sec.params, sec.active_mask(),
+                      traj.quats[t], traj.trans[t], cam)
+        w2c = np.asarray(geo.pose_to_w2c(geo.normalize(traj.quats[t]),
+                                         traj.trans[t]), np.float64)
+        im = np.clip(np.transpose(np.asarray(r.im), (1, 2, 0)), 0, 1)
+        depth = np.asarray(r.depth)[0]
+        depth = depth * (np.asarray(r.silhouette) > sil_thres)
+        frames.append((im.astype(np.float32), depth.astype(np.float32)))
+        poses.append(w2c)
+        ys, xs = np.mgrid[0: depth.shape[0]: 8, 0: depth.shape[1]: 8]
+        z = depth[ys, xs]
+        x = (xs - K[0, 2]) / K[0, 0] * z
+        y = (ys - K[1, 2]) / K[1, 1] * z
+        pc = np.stack([x, y, z], -1).reshape(-1, 3)
+        c2w = np.linalg.inv(w2c)
+        pts_all.append((pc @ c2w[:3, :3].T + c2w[:3, 3])[z.reshape(-1) > 0])
+    pts_all = np.concatenate(pts_all) if pts_all else np.zeros((1, 3))
+    vol = TSDFVolume(pts_all.min(0) - 0.5, pts_all.max(0) + 0.5,
+                     voxel_length, sdf_trunc)
+    for (im, depth), w2c in zip(frames, poses):
+        vol.integrate(im, depth, K, w2c)
+    verts, faces = vol.extract_mesh()
+    verts, faces = clean_mesh(verts, faces)
+    colors = vol.vertex_colors(verts)
+    mesh_path = os.path.join(eval_dir, "recon", "mesh.ply")
+    write_ply(mesh_path, verts, faces, colors)
+    out = {"mesh_path": mesh_path, "n_verts": int(len(verts)),
+           "n_faces": int(len(faces))}
+
+    if gt_mesh_path is not None:
+        gt_v, gt_f, _ = read_ply(gt_mesh_path)
+        acc, comp = accuracy_completion(verts, faces, gt_v, gt_f)
+        out["accuracy_cm"] = acc * 100
+        out["completion_cm"] = comp * 100
+        if n_2d_views > 0:
+            pc_unseen = (np.load(unseen_pc_path)
+                         if unseen_pc_path else None)
+            out.update(calc_2d_metric(verts, faces, gt_v, gt_f,
+                                      pc_unseen=pc_unseen,
+                                      n_imgs=n_2d_views))
+    print("eval_recon:", {k: (round(v, 3) if isinstance(v, float) else v)
+                          for k, v in out.items()})
+    return out
+
+
 def _plot_metrics(eval_dir, psnr_list, l1_list, avg_psnr, avg_l1, ate_rmse):
     """PSNR/Depth-L1 line plots -> metrics.png (reference :588-599)."""
     try:

@@ -83,6 +83,9 @@ config = dict(
         use_gaussian_splatting_densification=False,
     ),
     viz=dict(render_mode="color"),
-    tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=256,
+    # at 48x64 there are only 12 tiles, so each tile sees ~N_active*span^2/12
+    # pairs — budget accordingly (256 truncates -> silhouette holes; PSNR
+    # saturates by 2048 on this scene)
+    tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=2048,
              blend_chunk=64, baseframe_capacity_quantum=8),
 )

@@ -84,8 +84,10 @@ config = dict(
     ),
     viz=dict(render_mode="color"),
     # at 48x64 there are only 12 tiles, so each tile sees ~N_active*span^2/12
-    # pairs — budget accordingly (256 truncates -> silhouette holes; PSNR
-    # saturates by 2048 on this scene)
-    tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=2048,
+    # pairs; max_pairs_per_tile is just the floor — auto_pair_budget (on by
+    # default) re-buckets it upward with scene density (validated: this scene
+    # needs 2048; at a pinned 256 silhouettes truncate and densification
+    # death-spirals)
+    tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=256,
              blend_chunk=64, baseframe_capacity_quantum=8),
 )

@@ -56,6 +56,9 @@ def main():
             num_frames = len(dataset)
         params_ls = np.load(os.path.join(results_dir, "params_ls.npy"),
                             allow_pickle=True)
+        from vtgaussian_slam_tpu.eval.evaluate import eval_backend_kwargs
+
+        color0 = dataset[0][0]
         eval_sequence(
             dataset, list(params_ls), num_frames, eval_dir,
             sil_thres=config["mapping"]["sil_thres"],
@@ -64,6 +67,12 @@ def main():
             eval_every=config["eval_every"],
             baseframe_every=config["baseframe_every"],
             save_frames=True,
+            # training budget unknown when re-scoring saved params: render
+            # with a generous density-derived budget so trained blend depth
+            # is not truncated
+            backend_kwargs=eval_backend_kwargs(
+                list(params_ls), color0.shape[0], color0.shape[1],
+                config.get("tpu")),
         )
         return
 
@@ -93,6 +102,10 @@ def main():
         eval_every=config["eval_every"],
         baseframe_every=config["baseframe_every"],
         save_frames=True,
+        # render eval frames at the budget the map was trained with — a
+        # smaller eval budget truncates trained blend depth and
+        # under-reports quality
+        backend_kwargs=dict(engine.backend_kwargs),
     )
 
 

@@ -13,7 +13,12 @@ from vtgaussian_slam_tpu.eval.metrics import evaluate_ate
 
 
 def make_config(num_frames=11, baseframe_every=5, use_gt_poses=False,
-                track_iters=40, map_iters=40, motion_scale=0.25):
+                track_iters=40, map_iters=40, motion_scale=0.25,
+                auto_pair_budget=False):
+    # auto_pair_budget is pinned OFF for the module fixtures: at 48x64 (12
+    # tiles) it re-buckets to 4096 pairs/tile, which is correct for quality
+    # but ~16x the blend work — too slow for CPU CI. The auto path has its
+    # own dedicated small run in TestAutoPairBudget.
     return dict(
         workdir="/tmp/vtgs_test", run_name="synthetic", seed=3,
         baseframe_every=baseframe_every,
@@ -52,7 +57,8 @@ def make_config(num_frames=11, baseframe_every=5, use_gt_poses=False,
                            cam_unnorm_rots=0.0, cam_trans=0.0),
         ),
         tpu=dict(capacity_quantum=4096, span_cap=3, max_pairs_per_tile=256,
-                 blend_chunk=64, baseframe_capacity_quantum=8),
+                 blend_chunk=64, baseframe_capacity_quantum=8,
+                 auto_pair_budget=auto_pair_budget),
     )
 
 
@@ -160,3 +166,38 @@ class TestTrackedRun:
         assert s["avg_tracking_frame_s"] > 0
         assert s["avg_mapping_frame_s"] > 0
         assert s["num_gaussians"] > 0
+
+
+class TestAutoPairBudget:
+    def test_bucketing(self):
+        from vtgaussian_slam_tpu.core.pipeline import auto_pair_budget
+
+        # low density -> stays at the config floor
+        assert auto_pair_budget(1000, 300, 2, 512) == 512
+        # medium scene regime: 863k gaussians, 300 tiles, span 2
+        # avg ~11.5k pairs/tile -> need ~960 -> bucket 1024 (validated)
+        assert auto_pair_budget(863265, 300, 2, 256) == 1024
+        # smoke regime: 20k gaussians over 12 tiles, span 3
+        # avg ~15.6k -> need ~1.3k -> bucket 2048 (validated)
+        assert auto_pair_budget(20813, 12, 3, 256) == 2048
+        # memory cap binds at many tiles: 8M entries / 3225 tiles ~ 2601
+        assert auto_pair_budget(10_000_000, 3225, 3, 512) == 2048
+        # explicit floor above need is respected
+        assert auto_pair_budget(100, 300, 2, 2048) == 2048
+
+    def test_engine_rebuckets_as_sections_grow(self):
+        # tiny dedicated run with the auto budget ON and a low floor: the
+        # first frame alone back-projects 3072 gaussians over 12 tiles, so
+        # the engine must raise the budget above the 64-pair floor
+        from vtgaussian_slam_tpu.core.pipeline import auto_pair_budget
+
+        cfg = make_config(num_frames=2, track_iters=3, map_iters=3,
+                          auto_pair_budget=True)
+        cfg["tpu"]["max_pairs_per_tile"] = 64
+        eng = VTGaussianSLAM(cfg)
+        eng.run(progress=False)
+        bk = dict(eng.backend_kwargs)
+        n = max(int(s.n_active) for s in eng.sections)
+        expect = auto_pair_budget(n, 12, cfg["tpu"]["span_cap"], 64)
+        assert expect > 64
+        assert bk["max_pairs_per_tile"] == expect

@@ -68,8 +68,12 @@ def prepare_config(config: dict) -> dict:
     tpu.setdefault("span_cap", 3)
     # per-tile pair budget: must exceed the scene's per-tile depth
     # complexity or silhouettes develop false holes and densification
-    # over-adds (watch final_stats tile_truncation_frac_max)
+    # over-adds (watch final_stats tile_truncation_frac_max). With
+    # auto_pair_budget (default) this is the FLOOR; the engine re-buckets
+    # upward in powers of two as sections grow (core/pipeline.py:
+    # auto_pair_budget).
     tpu.setdefault("max_pairs_per_tile", 512)
+    tpu.setdefault("auto_pair_budget", True)
     tpu.setdefault("blend_chunk", 128)
     tpu.setdefault("baseframe_capacity_quantum", 64)
     return config

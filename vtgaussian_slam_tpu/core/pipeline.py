@@ -107,6 +107,30 @@ def _pose_from_rel(quats, trans, t, rel_c2w):
     return geo.rotmat_to_quat(w2c[:3, :3]), w2c[:3, 3]
 
 
+def auto_pair_budget(n_active: int, n_tiles: int, span_cap: int,
+                     base: int, tile_cap_entries: int = 1 << 23,
+                     hard_cap: int = 8192) -> int:
+    """Power-of-two-bucketed `max_pairs_per_tile` for the current section
+    density.
+
+    A static pair budget below the scene's per-tile depth complexity
+    truncates tiles -> false silhouette holes -> runaway densification (see
+    ROADMAP.md post-mortem; the medium and smoke scenes both hit it). Front-
+    to-back blending saturates long before the *average* per-tile pair count
+    `n_active * span_cap^2 / n_tiles`, so budget ~1/12 of it (calibrated on
+    the two validated scenes: medium saturates at avg/11, smoke at avg/8),
+    doubled from `base` in power-of-two buckets (jit signatures change only
+    at bucket boundaries, like capacity quanta). Capped so the Pallas record
+    buffer (n_tiles x 16 x mpt floats) stays bounded.
+    """
+    need = (n_active * span_cap * span_cap) // (12 * max(n_tiles, 1))
+    cap = max(base, min(hard_cap, tile_cap_entries // max(n_tiles, 1)))
+    mpt = base
+    while mpt < need and mpt * 2 <= cap:
+        mpt *= 2
+    return mpt
+
+
 class BaseframeStore:
     """Device-resident candidate pool for overlap selection (the reference's
     `baseframe_list` of CPU dicts, :2804-2818)."""
@@ -469,10 +493,40 @@ class VTGaussianSLAM:
         return state
 
     # ------------------------------------------------------------------
+    def _update_pair_budget(self):
+        """Re-bucket max_pairs_per_tile to the current section density
+        (tpu.auto_pair_budget, on by default; see auto_pair_budget)."""
+        cfg = self.config["tpu"]
+        if not cfg.get("auto_pair_budget", True) or not self.sections:
+            return
+        tile = 16
+        tiles = (-(-self.cam.width // tile)) * (-(-self.cam.height // tile))
+        n = max(int(s.n_active) for s in self.sections)
+        span = cfg["span_cap"]
+        mpt = auto_pair_budget(n, tiles, span, cfg["max_pairs_per_tile"])
+        map_mpt = auto_pair_budget(
+            n, tiles, span,
+            cfg.get("map_max_pairs_per_tile", cfg["max_pairs_per_tile"]))
+
+        def upd(bk, v):
+            d = dict(bk)
+            if d["max_pairs_per_tile"] != v:
+                d["max_pairs_per_tile"] = v
+                return tuple(sorted(d.items())), True
+            return bk, False
+
+        self.backend_kwargs, changed = upd(self.backend_kwargs, mpt)
+        self.map_backend_kwargs, _ = upd(self.map_backend_kwargs, map_mpt)
+        if changed:
+            print(f"[auto_pair_budget] max_pairs_per_tile -> {mpt} "
+                  f"({n} gaussians / {tiles} tiles)")
+
+    # ------------------------------------------------------------------
     def _track(self, t, frame, frame_color_np):
         """Full tracking for one frame; commits the best pose into traj."""
         cfg = self.config
         tr = cfg["tracking"]
+        self._update_pair_budget()
         bf_idx = t // self.bfe
         idx_in = t % self.bfe
         boundary = idx_in == 0
@@ -702,6 +756,9 @@ class VTGaussianSLAM:
         """Mapping phase for one frame (:2394-2780)."""
         cfg = self.config
         mp = cfg["mapping"]
+        # densification just grew the section; re-bucket the pair budget so
+        # the mapping silhouettes stay truthful
+        self._update_pair_budget()
         bf_idx = t // self.bfe
         idx_in = t % self.bfe
         boundary = idx_in == 0

@@ -83,7 +83,10 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     for i in range(levels):
         ssim_map, cs_map = _ssim_terms(x, y, window, "VALID")
         if i < levels - 1:
-            mcs.append(jax.nn.relu(jnp.mean(cs_map)))
+            # clip to the metric's true range: the E[x^2]-E[x]^2 variance
+            # form cancels catastrophically at f32 on near-identical
+            # images, letting per-patch cs exceed 1
+            mcs.append(jnp.clip(jnp.mean(cs_map), 0.0, 1.0))
             pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
             y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
@@ -91,7 +94,7 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
                                       "VALID") / 4.0
             y = jax.lax.reduce_window(y, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
                                       "VALID") / 4.0
-    msv = jax.nn.relu(jnp.mean(ssim_map))
+    msv = jnp.clip(jnp.mean(ssim_map), 0.0, 1.0)
     out = msv ** _MSSSIM_WEIGHTS[levels - 1]
     for w, c in zip(_MSSSIM_WEIGHTS[: levels - 1], mcs):
         out = out * c**w

@@ -58,11 +58,11 @@ def blend_chunk(
     accum = accum + jnp.einsum(
         "...kp,...kc->...pc", weight, colors, preferred_element_type=accum.dtype
     )
-    # T advances to the value after the last *included* Gaussian (the one that
-    # would cross the termination threshold is never blended). T_after is
-    # monotone non-increasing, so that is the min over included entries.
-    T_after_masked = jnp.where(include, T_after, jnp.inf)
-    new_T = jnp.where(
-        jnp.any(include, axis=-2), jnp.min(T_after_masked, axis=-2), carry_T
-    )
+    # A pixel whose transmittance crossed the termination threshold is DONE:
+    # the crossing Gaussian is never blended and no later Gaussian revives the
+    # pixel (CUDA sticky `done` flag). T_after is monotone non-increasing
+    # along the depth axis, so the crossing test is just the last entry; done
+    # pixels park T at 0 so downstream chunks exclude everything.
+    T_last = T_after[..., -1, :]
+    new_T = jnp.where(T_last < T_TERMINATE, 0.0, T_last)
     return new_T, accum

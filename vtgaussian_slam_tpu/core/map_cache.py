@@ -1,0 +1,199 @@
+"""Frozen-binning mapping renderer with inverse-map gradients.
+
+The mapping loop optimizes ONLY rgb_colors / logit_opacities / log_scales —
+mapping lrs for means3D and unnorm_rotations are 0 in every reference config
+(/root/reference/configs/replica/room0.py:99-107 and the tum/scannet/
+scannetpp configs), and keyframe poses are fixed once tracked. So for a given
+keyframe, WHICH gaussians land in which tile, and their depth order, are
+constant across the whole mapping phase — and stay valid across later phases
+too, except for gaussians appended by densification after the cache was
+built (the pipeline refreshes stale caches round-robin; see
+core/pipeline.py).
+
+Per keyframe this module freezes:
+  - the per-tile gather table + counts (binning.bin_gaussians),
+  - the inverse map for scatter-free gradients (binning.table_gather),
+  - the world-frame slot means (killing the per-iteration means gather).
+
+Per mapping iteration only the trainable 5-vector per slot is re-gathered;
+everything else (world->camera transform, EWA projection, activations,
+compositing) runs inside the fused splat kernel
+(ops/rasterizer/pallas_splat.py). Replaces the reference's per-iteration
+full CUDA re-binning (/root/reference/src/vtgaussian_slam.py:2516-2780) at
+equal math for frozen means.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import GaussianParams
+from ..ops.camera import Camera
+from ..ops.rasterizer.binning import bin_gaussians, table_gather
+from ..ops.rasterizer.pallas_splat import assemble_image, splat_blend
+from ..ops.rasterizer.projection import project_gaussians
+from .losses import RenderResult
+
+
+class KFBinCache(NamedTuple):
+    """Per-keyframe frozen binning (stack these along a leading B axis)."""
+    tab: jnp.ndarray        # (T, mpt) int32
+    counts: jnp.ndarray     # (T,) int32
+    inv_pos: jnp.ndarray    # (N, s2) int32, -1 = culled/truncated
+    means_w: jnp.ndarray    # (T, 3, mpt) world-frame slot means
+    quat: jnp.ndarray       # (4,) keyframe w2c rotation (unnormalized)
+    trans: jnp.ndarray      # (3,)
+
+
+class GlobalBinCache(NamedTuple):
+    """Binning of [frozen global prefix + trainable section] at the base
+    keyframe's pose, for the global-consistency term
+    (/root/reference/src/vtgaussian_slam.py:2485-2510,2595-2603)."""
+    tab: jnp.ndarray         # (T, mpt) int32 indices into the concat
+    counts: jnp.ndarray      # (T,)
+    inv_pos: jnp.ndarray     # (N, s2) positions of TRAINABLE gaussians
+    means_w: jnp.ndarray     # (T, 3, mpt) world-frame slot means
+    quat: jnp.ndarray        # (4,) base keyframe w2c rotation
+    trans: jnp.ndarray       # (3,)
+    fixed_vals: jnp.ndarray  # (n_fixed, 5) frozen [logit_op, log_scale, rgb]
+
+
+def pack_vals5(params: GaussianParams) -> jnp.ndarray:
+    """The mapping-trainable channels as one (N, 5) buffer, in the fused
+    splat kernel's record-row order: [logit_op, log_scale, r, g, b]."""
+    return jnp.concatenate(
+        [params.logit_opacities, params.log_scales, params.rgb_colors], axis=1)
+
+
+def unpack_vals5(params: GaussianParams, vals5: jnp.ndarray) -> GaussianParams:
+    return params.replace(
+        logit_opacities=vals5[:, 0:1],
+        log_scales=vals5[:, 1:2],
+        rgb_colors=vals5[:, 2:5],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile"))
+def build_kf_cache(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    cam: Camera,
+    *,
+    tile: int = 16,
+    span_cap: int = 2,
+    max_pairs_per_tile: int = 512,
+) -> KFBinCache:
+    from ..ops import geometry as geo
+
+    tiles_x = -(-cam.width // tile)
+    tiles_y = -(-cam.height // tile)
+    mpt = -(-max_pairs_per_tile // 128) * 128
+
+    q = geo.normalize(cam_quat)
+    R = geo.quat_to_rotmat(q)
+    means_cam = params.means3d @ R.T + cam_trans
+    proj = project_gaussians(means_cam, params.unnorm_rotations,
+                             jnp.exp(params.log_scales), params.opacities(),
+                             cam, active)
+    b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
+                      with_inverse=True)
+    return KFBinCache(tab=b.tab, counts=b.counts, inv_pos=b.inv_pos,
+                      means_w=params.means3d[b.tab].transpose(0, 2, 1),
+                      quat=cam_quat, trans=cam_trans)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile"))
+def build_global_cache(
+    fixed_params: GaussianParams,
+    fixed_active: jnp.ndarray,
+    params: GaussianParams,
+    active: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    cam: Camera,
+    *,
+    tile: int = 16,
+    span_cap: int = 2,
+    max_pairs_per_tile: int = 512,
+) -> GlobalBinCache:
+    from ..ops import geometry as geo
+
+    tiles_x = -(-cam.width // tile)
+    tiles_y = -(-cam.height // tile)
+    mpt = -(-max_pairs_per_tile // 128) * 128
+    n_fixed = fixed_params.means3d.shape[0]
+
+    means = jnp.concatenate([fixed_params.means3d, params.means3d])
+    log_scales = jnp.concatenate([fixed_params.log_scales, params.log_scales])
+    logit_op = jnp.concatenate(
+        [fixed_params.logit_opacities, params.logit_opacities])
+    quats = jnp.concatenate(
+        [fixed_params.unnorm_rotations, params.unnorm_rotations])
+    act = jnp.concatenate([fixed_active, active])
+
+    q = geo.normalize(cam_quat)
+    R = geo.quat_to_rotmat(q)
+    means_cam = means @ R.T + cam_trans
+    proj = project_gaussians(means_cam, quats, jnp.exp(log_scales),
+                             jax.nn.sigmoid(logit_op[:, 0]), cam, act)
+    b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
+                      with_inverse=True)
+    fixed_vals = jnp.concatenate(
+        [fixed_params.logit_opacities, fixed_params.log_scales,
+         fixed_params.rgb_colors], axis=1)
+    return GlobalBinCache(tab=b.tab, counts=b.counts,
+                          inv_pos=b.inv_pos[n_fixed:],
+                          means_w=means[b.tab].transpose(0, 2, 1),
+                          quat=cam_quat, trans=cam_trans,
+                          fixed_vals=fixed_vals)
+
+
+def _splat(slots8, quat, trans, counts, cam: Camera, chunk: int,
+           tile: int = 16) -> RenderResult:
+    from ..ops import geometry as geo
+
+    q = geo.normalize(quat)
+    R = geo.quat_to_rotmat(q)
+    tiles_x = -(-cam.width // tile)
+    accum = splat_blend(slots8, R.reshape(9), trans, counts, cam, tiles_x,
+                        max(chunk, 128), jax.default_backend() == "cpu")
+    img = assemble_image(accum, cam, tile)
+    return RenderResult(im=img[:3], depth=img[3:4], silhouette=img[4],
+                        depth_sq=img[5:6], radii=jnp.zeros((1,), img.dtype))
+
+
+def render_binned(vals5: jnp.ndarray, kfc: KFBinCache, cam: Camera,
+                  chunk: int = 128) -> RenderResult:
+    """Render the trainable section through one keyframe's frozen binning."""
+    slots = table_gather(vals5, kfc.tab, kfc.inv_pos)      # (T, mpt, 5)
+    slots8 = jnp.concatenate(
+        [jax.lax.stop_gradient(kfc.means_w), slots.transpose(0, 2, 1)],
+        axis=1)                                            # (T, 8, mpt)
+    return _splat(slots8, kfc.quat, kfc.trans, kfc.counts, cam, chunk)
+
+
+def render_binned_global(vals5: jnp.ndarray, gc: GlobalBinCache, cam: Camera,
+                         chunk: int = 128) -> RenderResult:
+    """Render [frozen prefix + trainable] through the global binning.
+
+    The frozen prefix contributes values via a plain (non-differentiated)
+    gather; trainable slots go through the inverse-map gather so their
+    gradients stay scatter-free."""
+    n_fixed = gc.fixed_vals.shape[0]
+    n_train = vals5.shape[0]
+    take_fixed = gc.tab < n_fixed
+    fixed_slots = jax.lax.stop_gradient(
+        gc.fixed_vals)[jnp.clip(gc.tab, 0, n_fixed - 1)]
+    train_tab = jnp.clip(gc.tab - n_fixed, 0, n_train - 1)
+    train_slots = table_gather(vals5, train_tab, gc.inv_pos)
+    slots = jnp.where(take_fixed[..., None], fixed_slots, train_slots)
+    slots8 = jnp.concatenate(
+        [jax.lax.stop_gradient(gc.means_w), slots.transpose(0, 2, 1)], axis=1)
+    return _splat(slots8, gc.quat, gc.trans, gc.counts, cam, chunk)

@@ -163,3 +163,74 @@ def map_frame(
     params, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
                                         (params, opt_state, hist0))
     return params, hist
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def map_frame_binned(
+    params: GaussianParams,
+    kf: KeyframeBuffer,
+    kfc,                    # KFBinCache stacked along a leading B axis
+    gc,                     # GlobalBinCache (dummy-sized when !use_global)
+    rng: jnp.ndarray,
+    cam: Camera,
+    cfg: MappingConfig,
+) -> tuple[GaussianParams, jnp.ndarray]:
+    """`map_frame` over per-keyframe frozen binning (core/map_cache.py).
+
+    Requires isotropic gaussians and zero mapping lrs for means3D and
+    unnorm_rotations (true of every reference config — the pipeline verifies
+    and falls back to `map_frame` otherwise). Only the (N, 5) trainable
+    channel pack [rgb, logit_opacity, log_scale] flows through Adam; binning,
+    depth order and slot means are frozen per keyframe, and the gather
+    backward is the scatter-free inverse-map gather."""
+    from .losses import loss_from_render
+    from .map_cache import (pack_vals5, render_binned, render_binned_global,
+                            unpack_vals5)
+
+    lr_dict = dict(cfg.lrs)
+    lrs5 = jnp.asarray(
+        [lr_dict.get("logit_opacities", 0.0),
+         lr_dict.get("log_scales", 0.0)]
+        + [lr_dict.get("rgb_colors", 0.0)] * 3,
+        params.means3d.dtype)[None, :]                       # (1, 5)
+
+    vals5 = pack_vals5(params)
+    opt_state = adam_init(vals5)
+    bk = dict(cfg.loss_cfg.backend_kwargs)
+    chunk = max(bk.get("chunk", 128), 128)
+
+    def loss_fn(v5, idx):
+        frame = Frame(color=kf.colors[idx], depth=kf.depths[idx])
+        k = jax.tree.map(lambda x: x[idx], kfc)
+        r = render_binned(v5, k, cam, chunk)
+        loss = loss_from_render(r, frame, cfg.loss_cfg,
+                                jnp.asarray(0.5, v5.dtype),
+                                jnp.asarray(False)).loss
+        if cfg.use_global:
+            def add_global(l):
+                rg = render_binned_global(v5, gc, cam, chunk)
+                return l + loss_from_render(
+                    rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v5.dtype),
+                    jnp.asarray(False)).loss
+
+            # global term applies when the sampled keyframe is a base frame
+            # (/root/reference/src/vtgaussian_slam.py:2599-2603); the global
+            # cache is built at that keyframe's pose
+            is_base = (kf.frame_ids[idx] % cfg.baseframe_every) == 0
+            loss = jax.lax.cond(is_base, add_global, lambda l: l, loss)
+        return loss
+
+    vg_fn = jax.value_and_grad(loss_fn)
+
+    def body(i, carry):
+        v5, opt, hist = carry
+        k = jax.random.fold_in(rng, i)
+        idx = jax.random.randint(k, (), 0, kf.count)
+        loss, grads = vg_fn(v5, idx)
+        v5, opt = adam_step(v5, grads, opt, lrs5, eps=1e-15)
+        return (v5, opt, hist.at[i].set(loss))
+
+    hist0 = jnp.zeros((cfg.num_iters,), vals5.dtype)
+    vals5, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
+                                       (vals5, opt_state, hist0))
+    return unpack_vals5(params, vals5), hist

@@ -1,0 +1,155 @@
+"""Tile binning for the splatting rasterizer, shared by all render paths.
+
+TPU-native replacement for the CUDA rasterizer's duplicate-key emission +
+radix sort stage (SURVEY.md 2.9): every Gaussian owns a fixed budget of
+span_cap^2 (tile, depth, gaussian) pair slots (unused slots carry a sentinel
+tile that sorts to the end), one lexicographic `lax.sort` by (tile, depth)
+replaces the 64-bit radix sort, and per-tile windows of the sorted order form
+a static-shape [n_tiles, max_pairs_per_tile] gather table.
+
+`with_inverse=True` additionally inverts the slot permutation: for every
+(gaussian, slot) pair it records the flattened table position it landed in
+(or -1 if culled/truncated). This is the TPU analogue of the CUDA backward's
+atomic gradient accumulation: the transpose of the table gather becomes a
+dense (N, span_cap^2) GATHER + sum instead of a scatter-add over
+n_tiles*max_pairs_per_tile rows (measured 72 ms vs 18 ms at the Replica
+room0 working set). Because binning inputs (means, poses) are frozen during
+tracking phases and whole mapping phases (mapping lrs for means3D and
+unnorm_rotations are 0 in every reference config, e.g.
+/root/reference/configs/replica/room0.py:99-107), the inverse map is built
+once per phase and amortized over all iterations.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedGaussians
+
+
+class BinnedPairs(NamedTuple):
+    tab: jnp.ndarray        # (n_tiles, mpt) int32 gaussian index per slot
+    counts: jnp.ndarray     # (n_tiles,) int32 valid slots per tile
+    inv_pos: jnp.ndarray | None  # (N, span_cap^2) int32 flattened table
+    #                              position (tile*mpt + j) or -1
+
+
+def tile_rects(proj: ProjectedGaussians, tile: int, span_cap: int,
+               tiles_x: int, tiles_y: int):
+    """Tile rectangle per Gaussian (CUDA getRect semantics, with span cap).
+
+    Oversized rects are re-centered on the tile containing the mean so large
+    splats keep their nearest tiles (the fork's tightened "smallerGSradii"
+    screen bound plays the same truncation role).
+    Returns (rx0, ry0, span_x, span_y, valid).
+    """
+    px, py = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    rx0 = jnp.clip(jnp.floor((px - r) / tile), 0, tiles_x).astype(jnp.int32)
+    ry0 = jnp.clip(jnp.floor((py - r) / tile), 0, tiles_y).astype(jnp.int32)
+    rx1 = jnp.clip(jnp.floor((px + r) / tile) + 1, 0, tiles_x).astype(jnp.int32)
+    ry1 = jnp.clip(jnp.floor((py + r) / tile) + 1, 0, tiles_y).astype(jnp.int32)
+    ctx = jnp.clip(jnp.floor(px / tile), 0, tiles_x - 1).astype(jnp.int32)
+    cty = jnp.clip(jnp.floor(py / tile), 0, tiles_y - 1).astype(jnp.int32)
+    rx0 = jnp.where(rx1 - rx0 > span_cap,
+                    jnp.clip(ctx - span_cap // 2, rx0, rx1 - span_cap), rx0)
+    ry0 = jnp.where(ry1 - ry0 > span_cap,
+                    jnp.clip(cty - span_cap // 2, ry0, ry1 - span_cap), ry0)
+    span_x = jnp.minimum(rx1 - rx0, span_cap)
+    span_y = jnp.minimum(ry1 - ry0, span_cap)
+    valid = proj.valid & (span_x > 0) & (span_y > 0)
+    return rx0, ry0, span_x, span_y, valid
+
+
+def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
+                  tiles_x: int, tiles_y: int, mpt: int,
+                  with_inverse: bool = False) -> BinnedPairs:
+    """Bin projected Gaussians into per-tile depth-sorted gather tables."""
+    N = proj.mean2d.shape[0]
+    n_tiles = tiles_x * tiles_y
+    s2 = span_cap * span_cap
+    p_max = N * s2
+
+    rx0, ry0, span_x, span_y, valid = tile_rects(
+        proj, tile, span_cap, tiles_x, tiles_y)
+
+    sentinel = jnp.int32(n_tiles)
+    depth_key = jnp.where(jnp.isfinite(proj.depth), proj.depth, 3.4e38)
+    slot_tiles = []
+    for s in range(s2):
+        dy, dx = s // span_cap, s % span_cap
+        ok = valid & (dy < span_y) & (dx < span_x)
+        slot_tiles.append(
+            jnp.where(ok, (ry0 + dy) * tiles_x + rx0 + dx, sentinel))
+    pair_tile = jnp.stack(slot_tiles).reshape(-1)              # (p_max,)
+    pair_depth = jnp.broadcast_to(depth_key, (s2, N)).reshape(-1)
+    pair_id = jnp.arange(p_max, dtype=jnp.int32)               # s * N + g
+
+    # lexicographic (tile, depth) sort; the pair id rides along and encodes
+    # both the gaussian (id % N) and, for the inverse map, the slot (id // N)
+    s_tile, _, s_id = jax.lax.sort((pair_tile, pair_depth, pair_id),
+                                   num_keys=2)
+
+    tid = jnp.arange(n_tiles, dtype=jnp.int32)
+    start = jnp.searchsorted(s_tile, tid, side="left").astype(jnp.int32)
+    end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
+    counts = jnp.minimum(end - start, mpt)
+    j = jnp.arange(mpt, dtype=jnp.int32)
+    window = jnp.minimum(start[:, None] + j[None, :], p_max - 1)
+    tab = (s_id % N)[window]                                   # (n_tiles, mpt)
+
+    inv_pos = None
+    if with_inverse:
+        # table position of sorted rank r: its tile's window slot, if within
+        # the per-tile budget and not the sentinel region
+        rank = jnp.arange(p_max, dtype=jnp.int32)
+        in_image = s_tile < n_tiles
+        tile_safe = jnp.minimum(s_tile, n_tiles - 1)
+        off = rank - start[tile_safe]
+        pos = jnp.where(in_image & (off < mpt), tile_safe * mpt + off, -1)
+        # invert the permutation: one more sort keyed by original pair id
+        _, pos_by_pair = jax.lax.sort((s_id, pos), num_keys=1)
+        inv_pos = pos_by_pair.reshape(s2, N).T                 # (N, s2)
+
+    return BinnedPairs(tab=tab, counts=counts, inv_pos=inv_pos)
+
+
+def table_gather(vals: jnp.ndarray, tab: jnp.ndarray,
+                 inv_pos: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable per-slot gather `vals[tab]` whose backward is a dense
+    inverse-map gather instead of a scatter-add (see module docstring).
+
+    vals: (N, C) trainable per-gaussian values; tab: (n_tiles, mpt);
+    inv_pos: (N, s2) from `bin_gaussians(..., with_inverse=True)`.
+    Slots beyond a tile's count hold clamped garbage indices; they are never
+    rendered (the blend kernels mask by count) so their cotangents are zero,
+    and inv_pos never references them — the transpose stays exact.
+    """
+    return _table_gather(vals, tab, inv_pos)
+
+
+@jax.custom_vjp
+def _table_gather(vals, tab, inv_pos):
+    return vals[tab]
+
+
+def _table_gather_fwd(vals, tab, inv_pos):
+    return vals[tab], (inv_pos, tab.shape)
+
+
+def _table_gather_bwd(res, g):
+    import numpy as np
+    inv_pos, tab_shape = res
+    C = g.shape[-1]
+    flat = g.reshape(-1, C)
+    ok = inv_pos >= 0
+    idx = jnp.where(ok, inv_pos, 0)
+    contrib = flat[idx] * ok[..., None]                         # (N, s2, C)
+    g_vals = jnp.sum(contrib, axis=1)
+    f0 = jax.dtypes.float0
+    return (g_vals, np.zeros(tab_shape, f0), np.zeros(inv_pos.shape, f0))
+
+
+_table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)

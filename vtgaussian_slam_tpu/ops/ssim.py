@@ -18,24 +18,33 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_kernel1d(window_size: int, sigma: float) -> np.ndarray:
     g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2))
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv(img: jnp.ndarray, window: jnp.ndarray, padding: str) -> jnp.ndarray:
-    """img (C, H, W) -> per-channel 2D convolution with `window` (k, k)."""
+def _depthwise_conv(img: jnp.ndarray, window, padding) -> jnp.ndarray:
+    """img (C, H, W) -> per-channel Gaussian blur.
+
+    The 2D window is outer(g, g), i.e. exactly separable: two 1-D passes
+    (11+11 taps) replace the full 11x11 conv (121 taps) — ~5x less VPU work
+    in the mapping-loss hot path."""
     C = img.shape[0]
-    kernel = jnp.asarray(window)[None, None].repeat(C, 0)  # (C, 1, k, k)
-    return jax.lax.conv_general_dilated(
-        img[None],
-        kernel,
-        window_strides=(1, 1),
-        padding=padding,
-        feature_group_count=C,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]
+    k = window.shape[0]
+    g = jnp.asarray(window)
+    if padding == "VALID":
+        pads = [(0, 0), (0, 0)]
+    else:
+        pads = list(padding)
+    kern_h = jnp.broadcast_to(g[None, None, :, None], (C, 1, k, 1))
+    kern_w = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, k))
+    out = jax.lax.conv_general_dilated(
+        img[None], kern_h, (1, 1), [pads[0], (0, 0)],
+        feature_group_count=C, dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    out = jax.lax.conv_general_dilated(
+        out, kern_w, (1, 1), [(0, 0), pads[1]],
+        feature_group_count=C, dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[0]
 
 
 def _ssim_terms(img1, img2, window, padding):
@@ -54,7 +63,7 @@ def _ssim_terms(img1, img2, window, padding):
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over a (C, H, W) image pair (reference: same padding)."""
-    window = _gaussian_window(window_size, sigma)
+    window = _gaussian_kernel1d(window_size, sigma)
     pad = window_size // 2
     ssim_map, _ = _ssim_terms(img1, img2, window,
                               [(pad, pad), (pad, pad)])
@@ -71,7 +80,7 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     padding on odd sizes), relu-clamped cs terms."""
     img1 = img1 / data_range
     img2 = img2 / data_range
-    window = _gaussian_window(window_size, sigma)
+    window = _gaussian_kernel1d(window_size, sigma)
     levels = len(_MSSSIM_WEIGHTS)
     # auto-reduce scales for small images (pytorch_msssim asserts
     # min_side > (win-1) * 2^(levels-1) instead; we degrade gracefully)

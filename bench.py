@@ -31,7 +31,7 @@ def main():
 
     from vtgaussian_slam_tpu.core.losses import Frame, LossConfig
     from vtgaussian_slam_tpu.core.mapping import (KeyframeBuffer,
-                                                  MappingConfig, map_frame)
+                                                  MappingConfig)
     from vtgaussian_slam_tpu.core.p2p import make_p2p_target
     from vtgaussian_slam_tpu.core.tracking import (TrackingConfig,
                                                    init_track_state,
@@ -92,8 +92,7 @@ def main():
         lrs=(("log_scales", 0.005), ("logit_opacities", 0.05),
              ("means3D", 0.0), ("rgb_colors", 0.0025),
              ("unnorm_rotations", 0.0)),
-        loss_cfg=lcfg_map, use_global=False, baseframe_every=40,
-        use_tabled=True)
+        loss_cfg=lcfg_map, use_global=False, baseframe_every=40)
 
     ones = jnp.ones((H, W), bool)
     dummy_p2p = make_p2p_target(jnp.zeros((1, 8, 8), jnp.float32),
@@ -124,9 +123,17 @@ def main():
                             quats=st.best_quat[None], trans=st.best_trans[None],
                             frame_ids=jnp.zeros((1,), jnp.int32),
                             count=jnp.asarray(1, jnp.int32))
-        new_params, _ = map_frame(sec.params, active, dummy.params,
-                                  dummy.active_mask(), kf,
-                                  jax.random.fold_in(rng, t), cam, mcfg)
+        from vtgaussian_slam_tpu.core.map_cache import (build_kf_cache,
+                                                        dummy_global_cache)
+        from vtgaussian_slam_tpu.core.mapping import map_frame_binned
+        kfc = jax.tree.map(
+            lambda x: x[None],
+            build_kf_cache(sec.params, active, st.best_quat, st.best_trans,
+                           cam, span_cap=2, max_pairs_per_tile=512))
+        new_params, _ = map_frame_binned(
+            sec.params, kf, kfc, jnp.zeros((1,), jnp.int32),
+            dummy_global_cache(sec.params), jax.random.fold_in(rng, t), cam,
+            mcfg)
         new_params.means3d.block_until_ready()
         t2 = time.time()
         print(f"[bench]   map:   {t2 - t1:.2f}s", file=sys.stderr)

@@ -222,8 +222,9 @@ class TestMapFrameBinned:
         gcdummy = build_global_cache(dummy, jnp.zeros((1,), bool), params,
                                      active, poses[0][0], poses[0][1], CAM,
                                      span_cap=2, max_pairs_per_tile=MPT)
-        got_params, got_hist = map_frame_binned(params, kf, kfc, gcdummy,
-                                                rng, CAM, cfg)
+        got_params, got_hist = map_frame_binned(
+            params, kf, kfc, jnp.arange(2, dtype=jnp.int32), gcdummy, rng,
+            CAM, cfg)
         np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
                                    rtol=5e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_params.rgb_colors),
@@ -260,6 +261,8 @@ class TestMapFrameBinned:
                              max_pairs_per_tile=MPT)])
         gc = build_global_cache(fixed, f_active, params, active, *pose, CAM,
                                 span_cap=2, max_pairs_per_tile=MPT)
-        _, got_hist = map_frame_binned(params, kf, kfc, gc, rng, CAM, cfg)
+        _, got_hist = map_frame_binned(params, kf, kfc,
+                                       jnp.zeros((1,), jnp.int32), gc, rng,
+                                       CAM, cfg)
         np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
                                    rtol=5e-4)

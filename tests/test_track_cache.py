@@ -92,27 +92,6 @@ class TestTrackCache:
         np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2), rtol=1e-3,
                                    atol=1e-4)
 
-    def test_attribute_gradients_flow_through_cache(self):
-        """Mapping's tabled path: grads wrt rgb/opacity/scale via the cache."""
-        params, active = scene(seed=3)
-        quat = jnp.array([1.0, 0, 0, 0])
-        trans = jnp.zeros(3)
-
-        def loss(rgb, lo, ls):
-            p = params.replace(rgb_colors=rgb, logit_opacities=lo,
-                               log_scales=ls)
-            cache = build_track_cache(p, active, quat, trans, CAM,
-                                      span_cap=3, max_pairs_per_tile=256,
-                                      chunk=128)
-            r = render_cached(cache, quat, trans, CAM, chunk=128)
-            return jnp.sum(r.im ** 2) + jnp.sum(r.depth ** 2)
-
-        g = jax.grad(loss, argnums=(0, 1, 2))(
-            params.rgb_colors, params.logit_opacities, params.log_scales)
-        for arr in g:
-            assert np.all(np.isfinite(np.asarray(arr)))
-            assert float(jnp.abs(arr).max()) > 0
-
 
 class TestFusedPoseGrads:
     def test_pose_grads_match_generic(self):

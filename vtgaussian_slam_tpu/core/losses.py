@@ -162,18 +162,24 @@ def loss_from_render(
     sil_thres_out = sil_thres
     if cfg.tracking and cfg.use_sil_for_loss:
         if cfg.adaptive_sil:
-            # try all candidates, keep the min-color-MSE one at iteration 0
-            cands = jnp.asarray(SIL_THRES_CANDIDATES, gt_im.dtype)
-            sq = (gt_im - r.im) ** 2  # (3, H, W)
+            # try all candidates, keep the min-color-MSE one at iteration 0;
+            # under lax.cond the candidate sweep only actually executes on
+            # that first iteration
+            def pick_thres(_):
+                cands = jnp.asarray(SIL_THRES_CANDIDATES, gt_im.dtype)
+                sq = jax.lax.stop_gradient((gt_im - r.im) ** 2)  # (3, H, W)
+                sil = jax.lax.stop_gradient(r.silhouette)
 
-            def masked_mse(th):
-                m = (r.silhouette > th) & (gt_depth[0] > 0)
-                msum = jnp.sum(m) * 3
-                return jnp.sum(sq * m[None]) / jnp.maximum(msum, 1)
+                def masked_mse(th):
+                    m = (sil > th) & (gt_depth[0] > 0)
+                    msum = jnp.sum(m) * 3
+                    return jnp.sum(sq * m[None]) / jnp.maximum(msum, 1)
 
-            mses = jax.vmap(masked_mse)(cands)
-            chosen = cands[jnp.argmin(mses)]
-            sil_thres_out = jnp.where(is_first_iter, chosen, sil_thres)
+                mses = jax.vmap(masked_mse)(cands)
+                return cands[jnp.argmin(mses)]
+
+            sil_thres_out = jax.lax.cond(
+                is_first_iter, pick_thres, lambda _: sil_thres, None)
         presence = r.silhouette > sil_thres_out
         mask = mask & presence[None]
 

@@ -162,8 +162,10 @@ def _splat(slots8, quat, trans, counts, cam: Camera, chunk: int,
     q = geo.normalize(quat)
     R = geo.quat_to_rotmat(q)
     tiles_x = -(-cam.width // tile)
-    accum = splat_blend(slots8, R.reshape(9), trans, counts, cam, tiles_x,
-                        max(chunk, 128), jax.default_backend() == "cpu")
+    accum = splat_blend(slots8, R.reshape(9), trans, counts,
+                        jnp.zeros((), jnp.int32), cam, tiles_x,
+                        max(chunk, 128), jax.default_backend() == "cpu",
+                        "vals")
     img = assemble_image(accum, cam, tile)
     return RenderResult(im=img[:3], depth=img[3:4], silhouette=img[4],
                         depth_sq=img[5:6], radii=jnp.zeros((1,), img.dtype))
@@ -197,3 +199,129 @@ def render_binned_global(vals5: jnp.ndarray, gc: GlobalBinCache, cam: Camera,
     slots8 = jnp.concatenate(
         [jax.lax.stop_gradient(gc.means_w), slots.transpose(0, 2, 1)], axis=1)
     return _splat(slots8, gc.quat, gc.trans, gc.counts, cam, chunk)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_slot(stack_leaf: jnp.ndarray, i, val: jnp.ndarray) -> jnp.ndarray:
+    """In-place (donated) write of one cache slot into the stacked buffer."""
+    return stack_leaf.at[i].set(val)
+
+
+class MapCacheStore:
+    """Host-side manager of the stacked per-keyframe bin caches for the
+    CURRENT section.
+
+    Policy (the TPU-side analogue of the reference's per-iteration full
+    rebinning, /root/reference/src/vtgaussian_slam.py:2516-2780):
+      - the just-tracked frame's cache is built fresh every mapping phase;
+      - per phase, the `refresh` stalest other slots (built when the section
+        had fewer gaussians than now) are rebuilt, so densified gaussians
+        become visible from older keyframes within ~count/refresh frames;
+      - gaussians added after a slot's build simply receive no gradient from
+        that keyframe until its refresh (inv_pos rows of then-inactive
+        gaussians are -1 by construction);
+      - when capacity or the pair budget re-buckets (shape change), every
+        known slot is rebuilt in one burst (rare: a handful per section).
+
+    Slots are stacked device buffers (W, ...) written in place via donation;
+    W is fixed at section start so `map_frame_binned` compiles once per
+    shape key. When bfe exceeds `max_slots` (memory budget), the base frame
+    (ring 0) is pinned and the most recent window is kept — sampling then
+    covers base + window instead of all section frames (documented
+    deviation; never triggered by replica/tum/scannet budgets).
+    """
+
+    def __init__(self, max_slots: int = 64, refresh: int = 1):
+        self.max_slots = max_slots
+        self.refresh = refresh
+        self.reset()
+
+    def reset(self):
+        self.stack = None          # KFBinCache with leading (W,) axis
+        self.key = None            # (capacity, mpt, H, W_img, W)
+        self.ring_of_slot = []     # cache slot -> ring index
+        self.built_n = []          # n_active at build time per slot
+        self.poses = {}            # ring index -> (quat np, trans np)
+
+    def slot_ids_array(self, W: int):
+        ids = list(self.ring_of_slot) + [0] * (W - len(self.ring_of_slot))
+        return jnp.asarray(ids, jnp.int32), len(self.ring_of_slot)
+
+    def _build(self, params, active, ring_idx, cam, span_cap, mpt):
+        quat, trans = self.poses[ring_idx]
+        return build_kf_cache(params, active, jnp.asarray(quat),
+                              jnp.asarray(trans), cam, span_cap=span_cap,
+                              max_pairs_per_tile=mpt)
+
+    def _write(self, slot, kfc_one):
+        self.stack = jax.tree.map(
+            lambda st, v: _set_slot(st, slot, v), self.stack, kfc_one)
+
+    def update(self, params, active, n_active: int, ring_idx: int,
+               quat, trans, cam, span_cap: int, mpt: int, W: int):
+        """Ensure caches exist for every registered section keyframe (the
+        just-tracked frame plus any re-seeded after resume/re-bucket) and
+        refresh stale slots. Returns (stack, slot_ids, count)."""
+        self.poses[ring_idx] = (quat, trans)
+        key = (params.means3d.shape[0], mpt, cam.height, cam.width, W)
+        if self.key != key:
+            # shape re-bucket: drop the stack, keep poses; every registered
+            # keyframe is re-admitted below (rare burst)
+            self.stack = None
+            self.ring_of_slot = []
+            self.built_n = []
+            self.key = key
+
+        missing = [r for r in sorted(self.poses)
+                   if r not in self.ring_of_slot]
+        for r in missing:
+            built = self._build(params, active, r, cam, span_cap, mpt)
+            if self.stack is None:
+                self.stack = jax.tree.map(
+                    lambda v: jnp.zeros((W,) + v.shape, v.dtype), built)
+            self._admit_slot(r, built, n_active, W)
+
+        # refresh the stalest slots (missed densifications)
+        for _ in range(self.refresh):
+            stale = [i for i, b in enumerate(self.built_n)
+                     if b < n_active and self.ring_of_slot[i] != ring_idx]
+            if not stale:
+                break
+            slot = min(stale, key=lambda i: self.built_n[i])
+            self._write(slot, self._build(
+                params, active, self.ring_of_slot[slot], cam, span_cap, mpt))
+            self.built_n[slot] = n_active
+
+        slot_ids, count = self.slot_ids_array(W)
+        return self.stack, slot_ids, count
+
+    def _admit_slot(self, ring_idx, built, n_active, W):
+        if len(self.ring_of_slot) < W:
+            slot = len(self.ring_of_slot)
+            self.ring_of_slot.append(ring_idx)
+            self.built_n.append(n_active)
+        else:
+            # evict the oldest non-base slot (ring 0 pinned: the global term
+            # and reference sampling both want the base frame available)
+            candidates = [i for i, r in enumerate(self.ring_of_slot)
+                          if r != 0] or list(range(len(self.ring_of_slot)))
+            slot = min(candidates, key=lambda i: self.ring_of_slot[i])
+            self.poses.pop(self.ring_of_slot[slot], None)
+            self.ring_of_slot[slot] = ring_idx
+            self.built_n[slot] = n_active
+        self._write(slot, built)
+
+
+def dummy_global_cache(params: GaussianParams) -> GlobalBinCache:
+    """Tiny placeholder passed to map_frame_binned when use_global is False
+    (the static flag prunes the branch; shapes only key the jit cache)."""
+    f32 = params.means3d.dtype
+    return GlobalBinCache(
+        tab=jnp.zeros((1, 128), jnp.int32),
+        counts=jnp.zeros((1,), jnp.int32),
+        inv_pos=jnp.full((params.means3d.shape[0], 1), -1, jnp.int32),
+        means_w=jnp.zeros((1, 3, 128), f32),
+        quat=jnp.asarray([1.0, 0.0, 0.0, 0.0], f32),
+        trans=jnp.zeros((3,), f32),
+        fixed_vals=jnp.zeros((1, 5), f32),
+    )

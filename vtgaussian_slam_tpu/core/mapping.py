@@ -42,11 +42,6 @@ class MappingConfig(NamedTuple):
     loss_cfg: LossConfig   # tracking=False
     use_global: bool       # add frozen-section consistency term
     baseframe_every: int
-    # table-space render: bin per iteration but compute conic/depth channels
-    # in per-tile table layout so backward only scatter-adds the 5 trainable
-    # channels (scale, opacity, rgb) instead of full 16-wide records.
-    # Requires isotropic Gaussians; ~2x cheaper mapping backward on TPU.
-    use_tabled: bool = False
 
 
 class KeyframeBuffer(NamedTuple):
@@ -101,22 +96,7 @@ def map_frame(
             vals[a] = jax.lax.stop_gradient(v) if lr_dict.get(f, 0.0) == 0.0 else v
         return GaussianParams(**vals)
 
-    bk = dict(cfg.loss_cfg.backend_kwargs)
-
     def single_loss(p: GaussianParams, act, frame: Frame, quat, trans):
-        if cfg.use_tabled:
-            from .losses import loss_from_render
-            from .track_cache import build_track_cache, render_cached
-            cache = build_track_cache(
-                p, act, quat, trans, cam,
-                span_cap=bk.get("span_cap", 3),
-                max_pairs_per_tile=bk.get("max_pairs_per_tile", 512),
-                chunk=bk.get("chunk", 128))
-            r = render_cached(cache, quat, trans, cam,
-                              chunk=max(bk.get("chunk", 128), 128))
-            return loss_from_render(r, frame, cfg.loss_cfg,
-                                    jnp.asarray(0.5, jnp.float32),
-                                    jnp.asarray(False))
         return compute_loss(p, act, quat, trans, frame, cam, cfg.loss_cfg,
                             jnp.asarray(0.5, jnp.float32), jnp.asarray(False))
 
@@ -168,8 +148,9 @@ def map_frame(
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
 def map_frame_binned(
     params: GaussianParams,
-    kf: KeyframeBuffer,
-    kfc,                    # KFBinCache stacked along a leading B axis
+    kf: KeyframeBuffer,     # full keyframe ring; kf.count = # cached slots
+    kfc,                    # KFBinCache stacked along a leading W axis
+    slot_ids: jnp.ndarray,  # (W,) int32 cache slot -> ring index
     gc,                     # GlobalBinCache (dummy-sized when !use_global)
     rng: jnp.ndarray,
     cam: Camera,
@@ -180,9 +161,16 @@ def map_frame_binned(
     Requires isotropic gaussians and zero mapping lrs for means3D and
     unnorm_rotations (true of every reference config — the pipeline verifies
     and falls back to `map_frame` otherwise). Only the (N, 5) trainable
-    channel pack [rgb, logit_opacity, log_scale] flows through Adam; binning,
+    channel pack [logit_opacity, log_scale, rgb] flows through Adam; binning,
     depth order and slot means are frozen per keyframe, and the gather
-    backward is the scatter-free inverse-map gather."""
+    backward is the scatter-free inverse-map gather.
+
+    The per-iteration keyframe draw picks a CACHED slot uniformly; when the
+    cache store holds every section keyframe (bfe <= its memory budget, true
+    for all replica/tum/scannet configs) this is exactly the reference's
+    uniform draw over selected keyframes
+    (/root/reference/src/vtgaussian_slam.py:2560-2571); otherwise it is
+    uniform over the pinned base frame + the most recent window."""
     from .losses import loss_from_render
     from .map_cache import (pack_vals5, render_binned, render_binned_global,
                             unpack_vals5)
@@ -199,9 +187,10 @@ def map_frame_binned(
     bk = dict(cfg.loss_cfg.backend_kwargs)
     chunk = max(bk.get("chunk", 128), 128)
 
-    def loss_fn(v5, idx):
-        frame = Frame(color=kf.colors[idx], depth=kf.depths[idx])
-        k = jax.tree.map(lambda x: x[idx], kfc)
+    def loss_fn(v5, slot):
+        ring = slot_ids[slot]
+        frame = Frame(color=kf.colors[ring], depth=kf.depths[ring])
+        k = jax.tree.map(lambda x: x[slot], kfc)
         r = render_binned(v5, k, cam, chunk)
         loss = loss_from_render(r, frame, cfg.loss_cfg,
                                 jnp.asarray(0.5, v5.dtype),
@@ -216,7 +205,7 @@ def map_frame_binned(
             # global term applies when the sampled keyframe is a base frame
             # (/root/reference/src/vtgaussian_slam.py:2599-2603); the global
             # cache is built at that keyframe's pose
-            is_base = (kf.frame_ids[idx] % cfg.baseframe_every) == 0
+            is_base = (kf.frame_ids[ring] % cfg.baseframe_every) == 0
             loss = jax.lax.cond(is_base, add_global, lambda l: l, loss)
         return loss
 

@@ -123,7 +123,12 @@ def auto_pair_budget(n_active: int, n_tiles: int, span_cap: int,
     at bucket boundaries, like capacity quanta). Capped so the Pallas record
     buffer (n_tiles x 16 x mpt floats) stays bounded.
     """
-    need = (n_active * span_cap * span_cap) // (12 * max(n_tiles, 1))
+    # tiny images (few tiles) concentrate nearly the whole cloud in every
+    # tile, so saturation arrives much deeper than the /12 steady-state
+    # estimate (smoke scene: 12 tiles need avg/4; validated at PSNR 42.5
+    # truncation-free vs 34.5 truncated at /12)
+    divisor = 12 if n_tiles >= 64 else 4
+    need = (n_active * span_cap * span_cap) // (divisor * max(n_tiles, 1))
     cap = max(base, min(hard_cap, tile_cap_entries // max(n_tiles, 1)))
     mpt = base
     while mpt < need and mpt * 2 <= cap:
@@ -267,6 +272,12 @@ class VTGaussianSLAM:
         self.ring_colors = jnp.zeros((self.bfe, 3, H, W), jnp.float32)
         self.ring_depths = jnp.zeros((self.bfe, 1, H, W), jnp.float32)
 
+        # frozen-binning mapping caches for the current section
+        from .map_cache import MapCacheStore
+        self.map_store = MapCacheStore(
+            max_slots=int(cfg["tpu"].get("map_cache_slots", 64)),
+            refresh=int(cfg["tpu"].get("map_cache_refresh", 1)))
+
         # scannetpp odometry-assisted initialization (:1364-1510)
         self.odometer = None
         self.frame_color_loss: list[float] = []
@@ -366,6 +377,7 @@ class VTGaussianSLAM:
         self._frame0 = frame
 
     def _new_section_from_parts(self, parts, timestep, depth_max):
+        self.map_store.reset()  # caches belong to the previous section
         """Compact (points, colors, msq, keep) part lists into a new Section."""
         pts = jnp.concatenate([p[0] for p in parts])
         cols = jnp.concatenate([p[1] for p in parts])
@@ -814,25 +826,16 @@ class VTGaussianSLAM:
                 0.0, 1.0, isotropic=sec.params.isotropic)
             fixed_params, fixed_active = dummy.params, dummy.active_mask()
 
-        # --- keyframe buffer
-        if boundary:
-            ids = jnp.asarray([t], jnp.int32)
-            colors = frame.color[None]
-            depths = frame.depth[None]
-            count = 1
-            B = 1
-        else:
-            B = self.bfe
-            start = bf_idx * self.bfe
-            ids = jnp.asarray(start + np.arange(B), jnp.int32)
-            colors = self.ring_colors
-            depths = self.ring_depths
-            count = idx_in + 1
-        kf = KeyframeBuffer(
-            colors=colors, depths=depths,
-            quats=_gather_rows(self.traj.quats, ids),
-            trans=_gather_rows(self.traj.trans, ids),
-            frame_ids=ids, count=jnp.asarray(count, jnp.int32))
+        mlrs = mp["lrs"]
+        # frozen-binning mapping path: valid whenever means3D and
+        # unnorm_rotations have zero mapping lr (every reference config) and
+        # gaussians are isotropic — see core/map_cache.py
+        use_binned = (
+            cfg["gaussian_distribution"] == "isotropic"
+            and float(mlrs.get("means3D", 0.0)) == 0.0
+            and float(mlrs.get("unnorm_rotations", 0.0)) == 0.0
+            and cfg["tpu"].get("map_binned",
+                               jax.default_backend() != "cpu"))
 
         mcfg = MappingConfig(
             num_iters=mp["num_iters"],
@@ -842,14 +845,59 @@ class VTGaussianSLAM:
             loss_cfg=self._loss_cfg(False),
             use_global=use_global,
             baseframe_every=self.bfe,
-            use_tabled=(cfg["gaussian_distribution"] == "isotropic"
-                        and jax.default_backend() != "cpu"
-                        and cfg["tpu"].get("map_tabled", True)),
         )
         self.rng, k = jax.random.split(self.rng)
-        new_params, map_hist = map_frame(sec.params, sec.active_mask(),
-                                         fixed_params, fixed_active, kf, k,
-                                         self.cam, mcfg)
+        active = sec.active_mask()
+
+        if use_binned:
+            from .map_cache import build_global_cache, dummy_global_cache
+            from .mapping import map_frame_binned
+
+            mbk = dict(self.map_backend_kwargs)
+            span_cap = mbk["span_cap"]
+            mpt = mbk["max_pairs_per_tile"]
+            W = min(self.bfe, int(cfg["tpu"].get("map_cache_slots", 64)))
+            start = bf_idx * self.bfe
+            cq, ct = _traj_read(self.traj.quats, self.traj.trans, t)
+            stack, slot_ids, count = self.map_store.update(
+                sec.params, active, int(sec.n_active), idx_in, cq, ct,
+                self.cam, span_cap, mpt, W)
+            ids = jnp.asarray(start + np.arange(self.bfe), jnp.int32)
+            kf = KeyframeBuffer(
+                colors=self.ring_colors, depths=self.ring_depths,
+                quats=_gather_rows(self.traj.quats, ids),
+                trans=_gather_rows(self.traj.trans, ids),
+                frame_ids=ids, count=jnp.asarray(count, jnp.int32))
+            if use_global:
+                bq, bt = _traj_read(self.traj.quats, self.traj.trans, start)
+                gcache = build_global_cache(
+                    fixed_params, fixed_active, sec.params, active, bq, bt,
+                    self.cam, span_cap=span_cap, max_pairs_per_tile=mpt)
+            else:
+                gcache = dummy_global_cache(sec.params)
+            new_params, map_hist = map_frame_binned(
+                sec.params, kf, stack, slot_ids, gcache, k, self.cam, mcfg)
+        else:
+            # generic autodiff path (anisotropic / nonzero means lr)
+            if boundary:
+                ids = jnp.asarray([t], jnp.int32)
+                colors = frame.color[None]
+                depths = frame.depth[None]
+                count = 1
+            else:
+                start = bf_idx * self.bfe
+                ids = jnp.asarray(start + np.arange(self.bfe), jnp.int32)
+                colors = self.ring_colors
+                depths = self.ring_depths
+                count = idx_in + 1
+            kf = KeyframeBuffer(
+                colors=colors, depths=depths,
+                quats=_gather_rows(self.traj.quats, ids),
+                trans=_gather_rows(self.traj.trans, ids),
+                frame_ids=ids, count=jnp.asarray(count, jnp.int32))
+            new_params, map_hist = map_frame(sec.params, active,
+                                             fixed_params, fixed_active, kf,
+                                             k, self.cam, mcfg)
         new_params.means3d.block_until_ready()
         self.sections[bf_idx] = sec.replace(params=new_params)
         if cfg["use_wandb"]:

@@ -107,8 +107,9 @@ def render_cached(
     q = geo.normalize(cam_quat)
     R = geo.quat_to_rotmat(q)
     accum = splat_blend(cache.slots8, R.reshape(9), cam_trans, cache.counts,
-                        cam, tiles_x, max(chunk, 128),
-                        jax.default_backend() == "cpu")
+                        jnp.zeros((), jnp.int32), cam, tiles_x,
+                        max(chunk, 128), jax.default_backend() == "cpu",
+                        "pose")
     img = assemble_image(accum, cam, tile)
     return RenderResult(im=img[:3], depth=img[3:4], silhouette=img[4],
                         depth_sq=img[5:6], radii=cache.radii)

@@ -143,11 +143,13 @@ def _table_gather_bwd(res, g):
     import numpy as np
     inv_pos, tab_shape = res
     C = g.shape[-1]
-    flat = g.reshape(-1, C)
-    ok = inv_pos >= 0
-    idx = jnp.where(ok, inv_pos, 0)
-    contrib = flat[idx] * ok[..., None]                         # (N, s2, C)
-    g_vals = jnp.sum(contrib, axis=1)
+    # append one zero pad row; invalid (-1) positions gather it instead of
+    # paying a mask multiply over the whole (N, s2, C) contribution tensor
+    flat = jnp.concatenate(
+        [g.reshape(-1, C), jnp.zeros((1, C), g.dtype)], axis=0)
+    pad = flat.shape[0] - 1
+    idx = jnp.where(inv_pos >= 0, inv_pos, pad)
+    g_vals = jnp.sum(flat[idx], axis=1)                         # (N, C)
     f0 = jax.dtypes.float0
     return (g_vals, np.zeros(tab_shape, f0), np.zeros(inv_pos.shape, f0))
 

@@ -115,9 +115,10 @@ def _project_chunk(rec, cp_ref):
 
 def _fwd_kernel(count_ref, tiles_x_ref, cp_ref, slots_ref, out_ref, *,
                 chunk: int, mpt: int):
-    t = pl.program_id(0)
-    count = count_ref[t]
+    tl = pl.program_id(0)
+    count = count_ref[tl]
     tiles_x = tiles_x_ref[0]
+    t = tl + tiles_x_ref[1]          # global tile id (sharded grids)
     px, py = _pixel_coords(t // tiles_x, t % tiles_x, out_ref.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     n_chunks = pl.cdiv(count, chunk)
@@ -166,9 +167,10 @@ def _fwd_kernel(count_ref, tiles_x_ref, cp_ref, slots_ref, out_ref, *,
 
 def _bwd_kernel(count_ref, tiles_x_ref, cp_ref, slots_ref, out_ref, g_ref,
                 grad_ref, *, chunk: int, mpt: int):
-    t = pl.program_id(0)
-    count = count_ref[t]
+    tl = pl.program_id(0)
+    count = count_ref[tl]
     tiles_x = tiles_x_ref[0]
+    t = tl + tiles_x_ref[1]          # global tile id (sharded grids)
     f32 = grad_ref.dtype
     px, py = _pixel_coords(t // tiles_x, t % tiles_x, f32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -309,15 +311,29 @@ def _params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def splat_blend(slots8: jnp.ndarray, R: jnp.ndarray, trans: jnp.ndarray,
-                counts: jnp.ndarray, cam: Camera, tiles_x: int,
-                chunk: int = 128, interpret: bool = False) -> jnp.ndarray:
-    """slots8 [n_tiles, SREC, mpt] + pose -> accum [n_tiles, TPX, NCH]."""
-    return _fwd_call(slots8, R, trans, counts, cam, tiles_x, chunk, interpret)
+                counts: jnp.ndarray, tile_offset: jnp.ndarray,
+                cam: Camera, tiles_x: int,
+                chunk: int = 128, interpret: bool = False,
+                grad_mode: str = "all") -> jnp.ndarray:
+    """slots8 [n_tiles, SREC, mpt] + pose -> accum [n_tiles, TPX, NCH].
+
+    grad_mode selects which cotangents the backward materializes — the
+    XLA-level contractions (R^T g for world means, the sum g (x) w for dR)
+    cost several ms at SLAM working sets, so callers that statically know
+    what they optimize skip the rest:
+      "pose": only (dR, dt); slot cotangent rows are zeros (tracking)
+      "vals": only slot rows 3..7 (logit_op/log_scale/rgb); dR = dt = 0
+              and mean rows are zeros (mapping)
+      "all":  everything (generic / tests)
+    """
+    return _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x,
+                     chunk, interpret)
 
 
-def _fwd_call(slots8, R, trans, counts, cam, tiles_x, chunk, interpret):
+def _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x, chunk,
+              interpret):
     n_tiles, _, mpt = slots8.shape
     kernel = functools.partial(_fwd_kernel, chunk=chunk, mpt=mpt)
     return pl.pallas_call(
@@ -333,17 +349,21 @@ def _fwd_call(slots8, R, trans, counts, cam, tiles_x, chunk, interpret):
         out_shape=jax.ShapeDtypeStruct((n_tiles, TPX, NCH), slots8.dtype),
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(counts, jnp.asarray([tiles_x], jnp.int32), _cp_vector(R, trans, cam),
-      slots8)
+    )(counts,
+      jnp.stack([jnp.asarray(tiles_x, jnp.int32),
+                 jnp.asarray(tile_offset, jnp.int32)]),
+      _cp_vector(R, trans, cam), slots8)
 
 
-def _splat_fwd(slots8, R, trans, counts, cam, tiles_x, chunk, interpret):
-    out = _fwd_call(slots8, R, trans, counts, cam, tiles_x, chunk, interpret)
-    return out, (slots8, R, trans, counts, out)
+def _splat_fwd(slots8, R, trans, counts, tile_offset, cam, tiles_x, chunk,
+               interpret, grad_mode):
+    out = _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x,
+                    chunk, interpret)
+    return out, (slots8, R, trans, counts, tile_offset, out)
 
 
-def _splat_bwd(cam, tiles_x, chunk, interpret, res, g):
-    slots8, R, trans, counts, out = res
+def _splat_bwd(cam, tiles_x, chunk, interpret, grad_mode, res, g):
+    slots8, R, trans, counts, tile_offset, out = res
     n_tiles, _, mpt = slots8.shape
     kernel = functools.partial(_bwd_kernel, chunk=chunk, mpt=mpt)
     grad = pl.pallas_call(
@@ -365,19 +385,35 @@ def _splat_bwd(cam, tiles_x, chunk, interpret, res, g):
         out_shape=jax.ShapeDtypeStruct((n_tiles, SREC, mpt), slots8.dtype),
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(counts, jnp.asarray([tiles_x], jnp.int32), _cp_vector(R, trans, cam),
-      slots8, out, g)
+    )(counts,
+      jnp.stack([jnp.asarray(tiles_x, jnp.int32),
+                 jnp.asarray(tile_offset, jnp.int32)]),
+      _cp_vector(R, trans, cam), slots8, out, g)
 
-    # cotangents at the XLA level; unused ones are dead-code eliminated by
-    # the surrounding jit (tracking keeps g_R/g_t, mapping keeps rows 3..7)
-    g_mc = grad[:, 0:3, :]                       # d/d mean_cam
-    w = slots8[:, 0:3, :]
-    g_w = jnp.einsum("ij,tjm->tim", R.reshape(3, 3).T, g_mc)
-    g_R = jnp.einsum("tim,tjm->ij", g_mc, w).reshape(9)
-    g_t = jnp.sum(g_mc, axis=(0, 2))
-    g_slots8 = jnp.concatenate([g_w, grad[:, 3:8, :]], axis=1)
+    # cotangents at the XLA level, restricted by grad_mode so the hot loops
+    # never pay for contractions they do not consume
+    n_tiles_, _, mpt_ = slots8.shape
+    zeros3 = jnp.zeros((n_tiles_, 3, mpt_), slots8.dtype)
+    if grad_mode in ("pose", "all"):
+        g_mc = grad[:, 0:3, :]                   # d/d mean_cam
+        w = slots8[:, 0:3, :]
+        g_R = jnp.einsum("tim,tjm->ij", g_mc, w).reshape(9)
+        g_t = jnp.sum(g_mc, axis=(0, 2))
+    else:
+        g_R = jnp.zeros((9,), slots8.dtype)
+        g_t = jnp.zeros((3,), slots8.dtype)
+    if grad_mode == "all":
+        g_w = jnp.einsum("ij,tjm->tim", R.reshape(3, 3).T, g_mc)
+    else:
+        g_w = zeros3
+    if grad_mode == "pose":
+        g_slots8 = jnp.concatenate(
+            [g_w, jnp.zeros((n_tiles_, 5, mpt_), slots8.dtype)], axis=1)
+    else:
+        g_slots8 = jnp.concatenate([g_w, grad[:, 3:8, :]], axis=1)
     f0 = jax.dtypes.float0
-    return (g_slots8, g_R, g_t, np.zeros(counts.shape, f0))
+    return (g_slots8, g_R, g_t, np.zeros(counts.shape, f0),
+            np.zeros(jnp.shape(tile_offset), f0))
 
 
 splat_blend.defvjp(_splat_fwd, _splat_bwd)

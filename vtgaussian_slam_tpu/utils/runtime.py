@@ -24,3 +24,12 @@ def setup_jax(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass  # older jax without these flags
+    # TPU matmuls default to single-pass bf16 on the MXU (~0.4% relative
+    # error). This workload has no throughput-critical big matmuls outside
+    # the Pallas kernels (which pin their precision explicitly); the small
+    # ones that remain — (N,3) @ (3,3) pose transforms feeding projection —
+    # directly move rendered pixel positions, so run them exact.
+    try:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:
+        pass

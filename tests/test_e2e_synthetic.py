@@ -177,9 +177,9 @@ class TestAutoPairBudget:
         # medium scene regime: 863k gaussians, 300 tiles, span 2
         # avg ~11.5k pairs/tile -> need ~960 -> bucket 1024 (validated)
         assert auto_pair_budget(863265, 300, 2, 256) == 1024
-        # smoke regime: 20k gaussians over 12 tiles, span 3
-        # avg ~15.6k -> need ~1.3k -> bucket 2048 (validated)
-        assert auto_pair_budget(20813, 12, 3, 256) == 2048
+        # smoke regime: 20k gaussians over 12 tiles, span 3; tiny images
+        # use divisor 4 -> need ~3.9k -> bucket 4096 (validated)
+        assert auto_pair_budget(20813, 12, 3, 256) == 4096
         # memory cap binds at many tiles: 8M entries / 3225 tiles ~ 2601
         assert auto_pair_budget(10_000_000, 3225, 3, 512) == 2048
         # explicit floor above need is respected

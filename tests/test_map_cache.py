@@ -105,7 +105,7 @@ class TestRenderBinned:
         ref = render_slam(params, active, quat, trans, CAM, BK)
         kfc = build_kf_cache(params, active, quat, trans, CAM, span_cap=2,
                              max_pairs_per_tile=MPT)
-        got = render_binned(pack_vals5(params), kfc, CAM)
+        got = render_binned(pack_vals5(params), params.means3d, kfc, CAM)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(got.depth),
@@ -131,7 +131,7 @@ class TestRenderBinned:
                           trans, CAM, BK)
         gc = build_global_cache(fixed, f_active, params, active, quat, trans,
                                 CAM, span_cap=2, max_pairs_per_tile=MPT)
-        got = render_binned_global(pack_vals5(params), gc, CAM)
+        got = render_binned_global(pack_vals5(params), params.means3d, gc, CAM)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
                                    atol=1e-5)
 
@@ -144,7 +144,7 @@ class TestRenderBinned:
                                 CAM, span_cap=2, max_pairs_per_tile=MPT)
 
         def loss_binned(v5):
-            return jnp.sum(render_binned_global(v5, gc, CAM).im ** 2)
+            return jnp.sum(render_binned_global(v5, params.means3d, gc, CAM).im ** 2)
 
         def loss_ref(v5):
             # pack_vals5 order: [logit_op, log_scale, r, g, b]

@@ -88,9 +88,12 @@ class TestTrackCache:
             return jnp.sum((r.im - target) ** 2)
 
         gq2, gt2 = jax.grad(loss_generic, argnums=(0, 1))(quat, trans)
-        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), rtol=1e-3)
-        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2), rtol=1e-3,
-                                   atol=1e-4)
+        # tolerance covers the splat backward's moment-expansion rounding
+        # (pixel reductions via phi^T @ g_power; ~1e-3 relative on small
+        # components — see pallas_splat._bwd_kernel)
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2), rtol=4e-3,
+                                   atol=1e-3)
 
 
 class TestFusedPoseGrads:

@@ -11,16 +11,20 @@ built (the pipeline refreshes stale caches round-robin; see
 core/pipeline.py).
 
 Per keyframe this module freezes:
-  - the per-tile gather table + counts (binning.bin_gaussians),
-  - the inverse map for scatter-free gradients (binning.table_gather),
-  - the world-frame slot means (killing the per-iteration means gather).
+  - the per-tile gather table + counts (binning.bin_gaussians), padded to
+    the splat kernel's BLOCK tile multiple,
+  - the inverse map for scatter-free gradients (binning.slots8_gather).
 
-Per mapping iteration only the trainable 5-vector per slot is re-gathered;
-everything else (world->camera transform, EWA projection, activations,
-compositing) runs inside the fused splat kernel
-(ops/rasterizer/pallas_splat.py). Replaces the reference's per-iteration
-full CUDA re-binning (/root/reference/src/vtgaussian_slam.py:2516-2780) at
-equal math for frozen means.
+Per mapping iteration ONE row gather rebuilds the (Tp, 8, mpt) slot records
+from the (N, 8) field table (means frozen + 5 trainable columns — row
+gathers are row-count-bound so the extra frozen columns are free, which is
+why no per-keyframe means_w copy is cached); everything else (world->camera
+transform, EWA projection, activations, compositing) runs inside the fused
+splat kernel (ops/rasterizer/pallas_splat.py), and its "vals" backward
+skips the mean/Jacobian chain entirely. Replaces the reference's
+per-iteration full CUDA re-binning
+(/root/reference/src/vtgaussian_slam.py:2516-2780) at equal math for frozen
+means.
 """
 from __future__ import annotations
 
@@ -32,18 +36,18 @@ import jax.numpy as jnp
 
 from ..models.gaussians import GaussianParams
 from ..ops.camera import Camera
-from ..ops.rasterizer.binning import bin_gaussians, table_gather
+from ..ops.rasterizer.binning import bin_gaussians, slots8_gather
 from ..ops.rasterizer.pallas_splat import assemble_image, splat_blend
 from ..ops.rasterizer.projection import project_gaussians
 from .losses import RenderResult
+from .track_cache import pad_bin_tables
 
 
 class KFBinCache(NamedTuple):
     """Per-keyframe frozen binning (stack these along a leading B axis)."""
-    tab: jnp.ndarray        # (T, mpt) int32
-    counts: jnp.ndarray     # (T,) int32
+    tab: jnp.ndarray        # (Tp, mpt) int32
+    counts: jnp.ndarray     # (Tp,) int32
     inv_pos: jnp.ndarray    # (N, s2) int32, -1 = culled/truncated
-    means_w: jnp.ndarray    # (T, 3, mpt) world-frame slot means
     quat: jnp.ndarray       # (4,) keyframe w2c rotation (unnormalized)
     trans: jnp.ndarray      # (3,)
 
@@ -52,20 +56,20 @@ class GlobalBinCache(NamedTuple):
     """Binning of [frozen global prefix + trainable section] at the base
     keyframe's pose, for the global-consistency term
     (/root/reference/src/vtgaussian_slam.py:2485-2510,2595-2603)."""
-    tab: jnp.ndarray         # (T, mpt) int32 indices into the concat
-    counts: jnp.ndarray      # (T,)
+    tab: jnp.ndarray         # (Tp, mpt) int32 indices into the concat
+    counts: jnp.ndarray      # (Tp,)
     inv_pos: jnp.ndarray     # (N, s2) positions of TRAINABLE gaussians
-    means_w: jnp.ndarray     # (T, 3, mpt) world-frame slot means
     quat: jnp.ndarray        # (4,) base keyframe w2c rotation
     trans: jnp.ndarray       # (3,)
-    fixed_vals: jnp.ndarray  # (n_fixed, 5) frozen [logit_op, log_scale, rgb]
+    fixed_fields8: jnp.ndarray  # (n_fixed, 8) frozen field rows
 
 
 def pack_vals5(params: GaussianParams) -> jnp.ndarray:
     """The mapping-trainable channels as one (N, 5) buffer, in the fused
-    splat kernel's record-row order: [logit_op, log_scale, r, g, b]."""
+    splat kernel's row order: [logit_op, log_scale, r, g, b]."""
     return jnp.concatenate(
-        [params.logit_opacities, params.log_scales, params.rgb_colors], axis=1)
+        [params.logit_opacities, params.log_scales, params.rgb_colors],
+        axis=1)
 
 
 def unpack_vals5(params: GaussianParams, vals5: jnp.ndarray) -> GaussianParams:
@@ -103,8 +107,8 @@ def build_kf_cache(
                              cam, active)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
-    return KFBinCache(tab=b.tab, counts=b.counts, inv_pos=b.inv_pos,
-                      means_w=params.means3d[b.tab].transpose(0, 2, 1),
+    tab, counts = pad_bin_tables(b.tab, b.counts)
+    return KFBinCache(tab=tab, counts=counts, inv_pos=b.inv_pos,
                       quat=cam_quat, trans=cam_trans)
 
 
@@ -145,14 +149,12 @@ def build_global_cache(
                              jax.nn.sigmoid(logit_op[:, 0]), cam, act)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
-    fixed_vals = jnp.concatenate(
-        [fixed_params.logit_opacities, fixed_params.log_scales,
-         fixed_params.rgb_colors], axis=1)
-    return GlobalBinCache(tab=b.tab, counts=b.counts,
+    tab, counts = pad_bin_tables(b.tab, b.counts)
+    from .track_cache import fields8
+    return GlobalBinCache(tab=tab, counts=counts,
                           inv_pos=b.inv_pos[n_fixed:],
-                          means_w=means[b.tab].transpose(0, 2, 1),
                           quat=cam_quat, trans=cam_trans,
-                          fixed_vals=fixed_vals)
+                          fixed_fields8=fields8(fixed_params))
 
 
 def _splat(slots8, quat, trans, counts, cam: Camera, chunk: int,
@@ -171,34 +173,32 @@ def _splat(slots8, quat, trans, counts, cam: Camera, chunk: int,
                         depth_sq=img[5:6], radii=jnp.zeros((1,), img.dtype))
 
 
-def render_binned(vals5: jnp.ndarray, kfc: KFBinCache, cam: Camera,
+def render_binned(vals5: jnp.ndarray, means3d: jnp.ndarray,
+                  kfc: KFBinCache, cam: Camera,
                   chunk: int = 128) -> RenderResult:
-    """Render the trainable section through one keyframe's frozen binning."""
-    slots = table_gather(vals5, kfc.tab, kfc.inv_pos)      # (T, mpt, 5)
-    slots8 = jnp.concatenate(
-        [jax.lax.stop_gradient(kfc.means_w), slots.transpose(0, 2, 1)],
-        axis=1)                                            # (T, 8, mpt)
-    return _splat(slots8, kfc.quat, kfc.trans, kfc.counts, cam, chunk)
+    """Render the trainable section through one keyframe's frozen binning.
+
+    vals5: (N, 5) trainable rows (pack_vals5); means3d: (N, 3) frozen."""
+    f8 = jnp.concatenate([jax.lax.stop_gradient(means3d), vals5], axis=1)
+    slots = slots8_gather(f8, kfc.tab, kfc.inv_pos)        # (Tp, 8, mpt)
+    return _splat(slots, kfc.quat, kfc.trans, kfc.counts, cam, chunk)
 
 
-def render_binned_global(vals5: jnp.ndarray, gc: GlobalBinCache, cam: Camera,
+def render_binned_global(vals5: jnp.ndarray, means3d: jnp.ndarray,
+                         gc: GlobalBinCache, cam: Camera,
                          chunk: int = 128) -> RenderResult:
     """Render [frozen prefix + trainable] through the global binning.
 
-    The frozen prefix contributes values via a plain (non-differentiated)
-    gather; trainable slots go through the inverse-map gather so their
-    gradients stay scatter-free."""
-    n_fixed = gc.fixed_vals.shape[0]
-    n_train = vals5.shape[0]
-    take_fixed = gc.tab < n_fixed
-    fixed_slots = jax.lax.stop_gradient(
-        gc.fixed_vals)[jnp.clip(gc.tab, 0, n_fixed - 1)]
-    train_tab = jnp.clip(gc.tab - n_fixed, 0, n_train - 1)
-    train_slots = table_gather(vals5, train_tab, gc.inv_pos)
-    slots = jnp.where(take_fixed[..., None], fixed_slots, train_slots)
-    slots8 = jnp.concatenate(
-        [jax.lax.stop_gradient(gc.means_w), slots.transpose(0, 2, 1)], axis=1)
-    return _splat(slots8, gc.quat, gc.trans, gc.counts, cam, chunk)
+    The table indexes the concat [frozen prefix; trainable section]; the
+    backward of slots8_gather returns zeros for the prefix rows (inv_pos
+    covers only the trainable tail), so gradients stay scatter-free and
+    flow to the trainable section only."""
+    f8 = jnp.concatenate([
+        jax.lax.stop_gradient(gc.fixed_fields8),
+        jnp.concatenate([jax.lax.stop_gradient(means3d), vals5], axis=1),
+    ], axis=0)
+    slots = slots8_gather(f8, gc.tab, gc.inv_pos)
+    return _splat(slots, gc.quat, gc.trans, gc.counts, cam, chunk)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -315,13 +315,13 @@ class MapCacheStore:
 def dummy_global_cache(params: GaussianParams) -> GlobalBinCache:
     """Tiny placeholder passed to map_frame_binned when use_global is False
     (the static flag prunes the branch; shapes only key the jit cache)."""
+    from ..ops.rasterizer.pallas_splat import BLOCK
     f32 = params.means3d.dtype
     return GlobalBinCache(
-        tab=jnp.zeros((1, 128), jnp.int32),
-        counts=jnp.zeros((1,), jnp.int32),
+        tab=jnp.zeros((BLOCK, 128), jnp.int32),
+        counts=jnp.zeros((BLOCK,), jnp.int32),
         inv_pos=jnp.full((params.means3d.shape[0], 1), -1, jnp.int32),
-        means_w=jnp.zeros((1, 3, 128), f32),
         quat=jnp.asarray([1.0, 0.0, 0.0, 0.0], f32),
         trans=jnp.zeros((3,), f32),
-        fixed_vals=jnp.zeros((1, 5), f32),
+        fixed_fields8=jnp.zeros((1, 8), f32),
     )

@@ -160,10 +160,10 @@ def map_frame_binned(
 
     Requires isotropic gaussians and zero mapping lrs for means3D and
     unnorm_rotations (true of every reference config — the pipeline verifies
-    and falls back to `map_frame` otherwise). Only the (N, 5) trainable
-    channel pack [logit_opacity, log_scale, rgb] flows through Adam; binning,
-    depth order and slot means are frozen per keyframe, and the gather
-    backward is the scatter-free inverse-map gather.
+    and falls back to `map_frame` otherwise). Only the (5, N) channel-major
+    trainable pack [logit_opacity, log_scale, rgb] flows through Adam;
+    binning, depth order and slot means are frozen per keyframe, and the
+    gather backward is the scatter-free inverse-map gather.
 
     The per-iteration keyframe draw picks a CACHED slot uniformly; when the
     cache store holds every section keyframe (bfe <= its memory budget, true
@@ -182,7 +182,8 @@ def map_frame_binned(
         + [lr_dict.get("rgb_colors", 0.0)] * 3,
         params.means3d.dtype)[None, :]                       # (1, 5)
 
-    vals5 = pack_vals5(params)
+    vals5 = pack_vals5(params)                               # (N, 5)
+    means3d = jax.lax.stop_gradient(params.means3d)
     opt_state = adam_init(vals5)
     bk = dict(cfg.loss_cfg.backend_kwargs)
     chunk = max(bk.get("chunk", 128), 128)
@@ -191,13 +192,13 @@ def map_frame_binned(
         ring = slot_ids[slot]
         frame = Frame(color=kf.colors[ring], depth=kf.depths[ring])
         k = jax.tree.map(lambda x: x[slot], kfc)
-        r = render_binned(v5, k, cam, chunk)
+        r = render_binned(v5, means3d, k, cam, chunk)
         loss = loss_from_render(r, frame, cfg.loss_cfg,
                                 jnp.asarray(0.5, v5.dtype),
                                 jnp.asarray(False)).loss
         if cfg.use_global:
             def add_global(l):
-                rg = render_binned_global(v5, gc, cam, chunk)
+                rg = render_binned_global(v5, means3d, gc, cam, chunk)
                 return l + loss_from_render(
                     rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v5.dtype),
                     jnp.asarray(False)).loss

@@ -483,7 +483,8 @@ class VTGaussianSLAM:
                 self.cam, span_cap=bk.get("span_cap", 3),
                 max_pairs_per_tile=mpt,
                 chunk=bk.get("chunk", 128))
-            trunc = float((np.asarray(cache.counts) >= mpt).mean())
+            n_tiles = (-(-self.cam.height // 16)) * (-(-self.cam.width // 16))
+            trunc = float((np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
             self.stats["tile_truncation_frac_max"] = max(
                 self.stats["tile_truncation_frac_max"], trunc)
             state, im_h, d_h = track_frame_cached(

@@ -11,11 +11,12 @@ This module freezes the binning at the frame's initial pose:
 - `build_track_cache` runs projection + binning ONCE and gathers ALL
   per-slot fields (world mean, logit opacity, log scale, rgb — everything is
   pose-independent and frozen during tracking) into the fused splat kernel's
-  8-row record layout (ops/rasterizer/pallas_splat.py).
+  8-row record layout (ops/rasterizer/pallas_splat.py): slots8
+  (Tp, 8, mpt), tiles padded to the kernel's BLOCK.
 - `render_cached` is then a single `splat_blend` call: the world->camera
-  transform, EWA projection and compositing all happen in-kernel, so the
-  per-iteration XLA graph contains no per-slot math at all; pose gradients
-  come back through the kernel's mean_cam rows.
+  transform, EWA projection and compositing all happen in-kernel, and the
+  pose gradient (dR, dt) is contracted IN-KERNEL too ("pose" grad mode), so
+  the per-iteration XLA graph contains no per-slot math or buffers at all.
 
 Deviation from the reference: blending order and tile lists are those of the
 binning pose; the pipeline rebuilds the cache between tracking phases and on
@@ -37,15 +38,35 @@ import jax.numpy as jnp
 
 from ..models.gaussians import GaussianParams
 from ..ops.camera import Camera
-from ..ops.rasterizer.pallas_splat import assemble_image, splat_blend
+from ..ops.rasterizer.binning import gather_channels
+from ..ops.rasterizer.pallas_splat import (assemble_image, pad_tiles,
+                                           splat_blend)
 from ..ops.rasterizer.projection import project_gaussians
 from .losses import RenderResult
 
 
 class TrackCache(NamedTuple):
-    slots8: jnp.ndarray   # (T, 8, mpt) [wx wy wz logit_op log_scale r g b]
-    counts: jnp.ndarray   # (T,)
+    slots8: jnp.ndarray   # (Tp, 8, mpt) [wx wy wz logit_op log_scale r g b]
+    counts: jnp.ndarray   # (Tp,)
     radii: jnp.ndarray    # (N,) per-Gaussian radii at the cache pose
+
+
+def pad_bin_tables(tab: jnp.ndarray, counts: jnp.ndarray):
+    """Pad (T, mpt) binning tables to the splat kernel's BLOCK multiple.
+    Padded tiles carry count 0 and index-0 slots (never rendered)."""
+    T = tab.shape[0]
+    Tp = pad_tiles(T)
+    if Tp == T:
+        return tab, counts
+    return (jnp.pad(tab, ((0, Tp - T), (0, 0))),
+            jnp.pad(counts, (0, Tp - T)))
+
+
+def fields8(params: GaussianParams) -> jnp.ndarray:
+    """(N, 8) field rows [wx wy wz logit_op log_scale r g b]."""
+    return jnp.concatenate(
+        [params.means3d, params.logit_opacities, params.log_scales,
+         params.rgb_colors], axis=1)
 
 
 @functools.partial(
@@ -81,13 +102,10 @@ def build_track_cache(
                              params.opacities(), cam, active)
 
     binned = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt)
-    tab, counts = binned.tab, binned.counts                # (T, mpt)
+    tab, counts = pad_bin_tables(binned.tab, binned.counts)
 
-    fields = jnp.concatenate(
-        [params.means3d, params.logit_opacities, params.log_scales,
-         params.rgb_colors], axis=1)                       # (N, 8)
-    slots8 = fields[tab].transpose(0, 2, 1)                # (T, 8, mpt)
-    return TrackCache(slots8=slots8, counts=counts, radii=proj.radius)
+    slots = gather_channels(fields8(params), tab)          # (Tp, 8, mpt)
+    return TrackCache(slots8=slots, counts=counts, radii=proj.radius)
 
 
 def render_cached(
@@ -99,15 +117,14 @@ def render_cached(
     tile: int = 16,
 ) -> RenderResult:
     """Render at a (slightly moved) pose from the frozen binning — one fused
-    kernel call; gradients flow to (cam_quat, cam_trans) through the kernel's
-    mean_cam gradient rows."""
+    kernel call; (dR, dt) gradients are reduced inside the backward kernel."""
     from ..ops import geometry as geo
 
     tiles_x = -(-cam.width // tile)
     q = geo.normalize(cam_quat)
     R = geo.quat_to_rotmat(q)
-    accum = splat_blend(cache.slots8, R.reshape(9), cam_trans, cache.counts,
-                        jnp.zeros((), jnp.int32), cam, tiles_x,
+    accum = splat_blend(cache.slots8, R.reshape(9), cam_trans,
+                        cache.counts, jnp.zeros((), jnp.int32), cam, tiles_x,
                         max(chunk, 128), jax.default_backend() == "cpu",
                         "pose")
     img = assemble_image(accum, cam, tile)

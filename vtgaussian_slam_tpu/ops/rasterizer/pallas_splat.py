@@ -1,34 +1,50 @@
 """Fused Pallas TPU kernel: world-space slots + pose -> composited image.
 
-Second-generation render kernel (see pallas_blend.py for the record-space
+Third-generation render kernel (see pallas_blend.py for the record-space
 blend it supersedes on the SLAM hot paths). The CUDA rasterizer the reference
 depends on fuses preprocess (projection) and render into one launch per pass
 (/root/reference/utils/recon_helpers.py:2-27); this kernel goes further and
 also fuses the world->camera transform, so the per-iteration XLA graph of the
-tracking/mapping loops contains NO per-slot elementwise math at all:
+tracking/mapping loops contains NO per-slot elementwise math at all.
 
-    slots8 [n_tiles, 8, mpt]  (depth-ordered per tile, from binning.py)
-      rows: 0..2 world mean xyz | 3 logit_opacity | 4 log_scale | 5..7 rgb
+Inputs (depth-ordered per tile, from binning.py; tiles padded to a multiple
+of BLOCK so the grid processes BLOCK tiles per step — grid-step overhead was
+the dominant cost of the one-tile-per-step v2 kernel at SLAM working sets):
+
+    slots8 [n_tiles, 8, mpt]  rows [wx wy wz logit_op log_scale r g b]
     + pose (R flat, t) and camera intrinsics as scalar-prefetch operands
-    -> image accum [n_tiles, TPX, 8]  channels (r, g, b, z, 1, z*z, 0, 0)
+    -> accum [n_tiles, NCH, TPX] channels (r, g, b, z, 1, z*z, 0, 0)
+
+The single 8-row record is one f32 sublane tile; it is produced by ONE
+row gather from an (N, 8) field table (row gathers are row-count-bound, so
+gathering 8 columns costs the same as 3 or 5 — binning.slots8_gather), and
+the "vals" backward returns its gradient in the SAME (n_tiles, 8, mpt)
+layout with zeroed mean rows, so no narrow-dimension slicing or relayout
+ever touches the hot path.
+
+The (NCH, TPX) accumulator layout keeps the lane dimension = pixels, so the
+XLA-side tile->image assembly never relayouts narrow minor dimensions (a
+(T, TPX, NCH) layout costs ~10 ms per call at 680x1200 in pure data
+movement; see ROADMAP.md round-2 notes).
 
 Inside the kernel, per chunk of 128 slots: world->camera transform, isotropic
 EWA projection (projection.py math), sigmoid/exp activations — all on
-(1, chunk) lane rows, ~100 VPU ops total — then the (TPX, chunk) alpha
-compositing of pallas_blend.py (cumprod transmittance, sticky early
-termination, MXU color accumulation).
+(1, chunk) lane rows — then the (TPX, chunk) alpha compositing of
+pallas_blend.py (cumprod transmittance, sticky early termination, MXU color
+accumulation).
 
-The backward replays the walk and chains every pixel-level gradient back to
-the 8 input rows in-kernel, emitting one [n_tiles, 8, mpt] gradient:
-  rows 0..2: d/d mean_CAM (the XLA-level wrapper turns these into d/d world
-             mean = R^T g, d/dR = sum g (x) w, d/dt = sum g — whichever of
-             those the caller actually uses survives XLA dead-code
-             elimination: tracking keeps only (dR, dt), mapping keeps only
-             rows 3..7 through the inverse-map table gather)
-  rows 3..7: d/d logit_opacity, log_scale, rgb
-
-An 8-row f32 record is exactly one sublane tile, halving record DMA vs the
-16-row layout.
+The backward replays the walk and is specialized per caller (`grad_mode`):
+  "pose"  (tracking): chains pixel gradients to d/d mean_cam and contracts
+          dR = sum g (x) w and dt = sum g IN-KERNEL, emitting one
+          (n_blocks, 128) row of partial [dR(9), dt(3)] sums — no per-slot
+          gradient buffer is materialized at all.
+  "vals"  (mapping): means are frozen, so the mean/Jacobian chain is skipped
+          entirely; emits (n_tiles, 8, mpt) with rows [0, 0, 0, d logit_op,
+          d log_scale, d rgb] for the scatter-free inverse-map gather
+          (binning.slots8_gather).
+  "all"   (tests/generic): full per-slot gradient rows
+          [d mean_cam(3), d logit_op, d log_scale, d rgb(3)]; the XLA wrapper
+          contracts dR/dt and rotates d mean_cam back to world frame.
 """
 from __future__ import annotations
 
@@ -42,14 +58,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..camera import Camera
 from .blend import ALPHA_MAX, ALPHA_MIN, T_TERMINATE
-from .pallas_blend import _cumprod_lanes, _cumsum_lanes, _shift_in_ones
 from .projection import COV2D_DILATION, NEAR_CULL
 
-SREC = 8        # input record rows
 TILE = 16
 TPX = TILE * TILE
 NCH = 8         # output channels (6 live + 2 pad)
-CP_LEN = 20     # camera/pose scalar vector length
+BLOCK = 8       # tiles per grid step (callers pad n_tiles to a multiple)
+
+# MXU precision for the in-kernel matmuls (transmittance cumsum, blend
+# accumulation, backward contractions). DEFAULT = one bf16 pass with f32
+# accumulation: measured 13.9 -> 9.7 ms fwd at the Replica working set, with
+# ~0.4% relative render error — the magnitude of the 8-bit sensor
+# quantization (1/255) the input images carry anyway. Eval/metric rendering
+# uses the gen-1 pallas_blend kernel (f32 chain) and is unaffected. Set
+# VTGS_SPLAT_PRECISION=highest to force exact f32 matmuls in the SLAM loops.
+import os as _os
+MATMUL_PRECISION = (jax.lax.Precision.HIGHEST
+                    if _os.environ.get("VTGS_SPLAT_PRECISION", "").lower()
+                    == "highest" else jax.lax.Precision.DEFAULT)
+
+
+def pad_tiles(n_tiles: int) -> int:
+    """Padded tile count the splat kernels require."""
+    return -(-n_tiles // BLOCK) * BLOCK
 
 
 def _pixel_coords(tile_y, tile_x, dtype):
@@ -60,7 +91,7 @@ def _pixel_coords(tile_y, tile_x, dtype):
 
 
 def _project_chunk(rec, cp_ref):
-    """Per-slot (1, chunk) projection pipeline; returns everything both
+    """Per-slot (1, chunk) projection pipeline; returns everything the
     kernels need. Mirrors projection.project_gaussians (isotropic path) and
     the world->camera transform of core/losses.render_slam."""
     wx, wy, wz = rec[0:1, :], rec[1:2, :], rec[2:3, :]
@@ -113,189 +144,295 @@ def _project_chunk(rec, cp_ref):
                 fx=fx, fy=fy, limx=limx, limy=limy)
 
 
-def _fwd_kernel(count_ref, tiles_x_ref, cp_ref, slots_ref, out_ref, *,
-                chunk: int, mpt: int):
-    tl = pl.program_id(0)
-    count = count_ref[tl]
-    tiles_x = tiles_x_ref[0]
-    t = tl + tiles_x_ref[1]          # global tile id (sharded grids)
-    px, py = _pixel_coords(t // tiles_x, t % tiles_x, out_ref.dtype)
+def _tri_excl(chunk, dtype):
+    """(chunk, chunk) strictly-upper-triangular ones: column k of x @ tri
+    sums x over lanes j < k (exclusive lane cumsum as ONE MXU matmul)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (ri < ci).astype(dtype)
+
+
+def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri):
+    """Shared fwd-walk step: alpha, transmittance chain, blend weights.
+
+    The exclusive transmittance product runs in log space with the lane
+    cumsum as one proper (TPX, chunk) @ (chunk, chunk) MXU matmul (`tri`):
+    the kernels are VPU-issue-bound and this replaces the 7-step shifted
+    cumprod chain (measured 17.0 -> 13.9 ms fwd at the Replica working set;
+    log1p/exp roundtrip error ~1e-4 relative on composited channels)."""
+    dx = px - p["m2x"]
+    dy = py - p["m2y"]
+    power = (-0.5 * (p["ca"] * dx * dx + p["cc"] * dy * dy)
+             - p["cb"] * dx * dy)
+    expp = jnp.exp(power)
+    alpha_raw = p["op"] * expp
+    clamped = alpha_raw > ALPHA_MAX
+    alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
+    keep = (power <= 0) & (alpha >= ALPHA_MIN) & (lane + j0 < count)
+    alpha = jnp.where(keep, alpha, 0.0)
+
+    lg = jnp.log1p(-alpha)
+    S_excl = jax.lax.dot_general(lg, tri, (((1,), (0,)), ((), ())),
+                                 precision=MATMUL_PRECISION,
+                                 preferred_element_type=lg.dtype)
+    T_in = T * jnp.exp(S_excl)
+    T_after = T_in * (1.0 - alpha)
+    include = T_after >= T_TERMINATE
+    weight = jnp.where(include, alpha * T_in, 0.0)
+
+    z = p["z"]
+    cols = jnp.concatenate(
+        [rec_rgb, z, jnp.ones_like(z), z * z,
+         jnp.zeros((2, chunk), z.dtype)], axis=0)       # (NCH, chunk)
+    return dict(dx=dx, dy=dy, power=power, expp=expp, clamped=clamped,
+                alpha=alpha, keep=keep, T_after=T_after, T_in=T_in,
+                include=include, weight=weight, cols=cols)
+
+
+def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
+                chunk: int, mpt: int, block: int):
+    blk = pl.program_id(0)
+    tiles_x = meta_ref[0]
+    f32 = out_ref.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    n_chunks = pl.cdiv(count, chunk)
+    tri = _tri_excl(chunk, f32)
 
-    def cond(carry):
-        c, T, _ = carry
-        return (c < n_chunks) & (jnp.max(T) >= T_TERMINATE)
+    for b in range(block):
+        tl = blk * block + b
+        count = count_ref[tl]
+        t = tl + meta_ref[1]              # global tile id (sharded grids)
+        px, py = _pixel_coords(t // tiles_x, t % tiles_x, f32)
+        n_chunks = pl.cdiv(count, chunk)
 
-    def body(carry):
-        c, T, accum = carry
-        j0 = c * chunk
-        rec = slots_ref[0, :, pl.ds(j0, chunk)]        # (SREC, chunk)
-        p = _project_chunk(rec, cp_ref)
+        def cond(carry):
+            c, T, _ = carry
+            return (c < n_chunks) & (jnp.max(T) >= T_TERMINATE)
 
-        dx = px - p["m2x"]                             # (TPX, chunk)
-        dy = py - p["m2y"]
-        power = (-0.5 * (p["ca"] * dx * dx + p["cc"] * dy * dy)
-                 - p["cb"] * dx * dy)
-        alpha = jnp.minimum(ALPHA_MAX, p["op"] * jnp.exp(power))
-        keep = (power <= 0) & (alpha >= ALPHA_MIN) & (lane + j0 < count)
-        alpha = jnp.where(keep, alpha, 0.0)
+        def body(carry):
+            c, T, accum = carry
+            j0 = c * chunk
+            rec = slots_ref[b, :, pl.ds(j0, chunk)]
+            p = _project_chunk(rec, cp_ref)
+            w = _splat_weights(p, rec[5:8, :], px, py, lane, j0, count, T,
+                               chunk, tri)
+            # accum (NCH, TPX): channels on sublanes, pixels on lanes
+            accum = accum + jax.lax.dot_general(
+                w["cols"], w["weight"], (((1,), (1,)), ((), ())),
+                precision=MATMUL_PRECISION,
+                preferred_element_type=accum.dtype)
+            T_last = w["T_after"][:, chunk - 1:chunk]
+            T_new = jnp.where(T_last < T_TERMINATE, 0.0, T_last)
+            return c + 1, T_new, accum
 
-        cp = _cumprod_lanes(1.0 - alpha, chunk)
-        T_after = T * cp
-        T_in = T * _shift_in_ones(cp, chunk)
-        include = T_after >= T_TERMINATE
-        weight = jnp.where(include, alpha * T_in, 0.0)
-
-        z = p["z"]
-        cols = jnp.concatenate(
-            [rec[5:8, :], z, jnp.ones_like(z), z * z,
-             jnp.zeros((2, chunk), z.dtype)], axis=0)   # (NCH, chunk)
-        accum = accum + jax.lax.dot_general(
-            weight, cols, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=accum.dtype)
-        T_last = T_after[:, chunk - 1:chunk]
-        T_new = jnp.where(T_last < T_TERMINATE, 0.0, T_last)
-        return c + 1, T_new, accum
-
-    T0 = jnp.ones((TPX, 1), out_ref.dtype)
-    A0 = jnp.zeros((TPX, NCH), out_ref.dtype)
-    _, _, accum = jax.lax.while_loop(cond, body, (0, T0, A0))
-    out_ref[0] = accum
+        T0 = jnp.ones((TPX, 1), f32)
+        A0 = jnp.zeros((NCH, TPX), f32)
+        _, _, accum = jax.lax.while_loop(cond, body, (0, T0, A0))
+        out_ref[b] = accum
 
 
-def _bwd_kernel(count_ref, tiles_x_ref, cp_ref, slots_ref, out_ref, g_ref,
-                grad_ref, *, chunk: int, mpt: int):
-    tl = pl.program_id(0)
-    count = count_ref[tl]
-    tiles_x = tiles_x_ref[0]
-    t = tl + tiles_x_ref[1]          # global tile id (sharded grids)
-    f32 = grad_ref.dtype
-    px, py = _pixel_coords(t // tiles_x, t % tiles_x, f32)
+def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
+                grad_ref, *, chunk: int, mpt: int, block: int,
+                mode: str):
+    """Backward walk. mode selects which chains run and what is emitted:
+    "vals" -> grad_ref (block, 8, mpt) rows [0,0,0, d lo, d ls, d rgb]
+    "all"  -> grad_ref (block, 8, mpt) rows [d mean_cam, d lo, d ls, d rgb]
+    "pose" -> grad_ref (1, 128) partial row [dR(9), dt(3), 0...] summed over
+              the block's tiles
+    """
+    blk = pl.program_id(0)
+    tiles_x = meta_ref[0]
+    f32 = g_ref.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    tri = _tri_excl(chunk, f32)
+    ri_ = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    ci_ = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri_incl = (ri_ <= ci_).astype(f32)
 
-    grad_ref[0] = jnp.zeros((SREC, mpt), f32)
+    # tile-LOCAL pixel-moment basis: phi[p] = [lx^2 lx*ly ly^2 lx ly 1 0 0].
+    # Every per-slot pixel reduction of the quadratic-form chain becomes ONE
+    # MXU contraction phi^T @ g_power instead of ~5 masked (TPX, chunk)
+    # multiply-reduce panels — the kernels are VPU-issue-bound, so moving
+    # these onto the (otherwise idle) MXU is the main win. Local coords keep
+    # the expansion's cancellation error ~1e-6 relative (coords <= 16 + r).
+    lxl = (jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) % TILE
+           ).astype(f32)
+    lyl = (jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) // TILE
+           ).astype(f32)
+    phi = jnp.concatenate(
+        [lxl * lxl, lxl * lyl, lyl * lyl, lxl, lyl, jnp.ones_like(lxl),
+         jnp.zeros((TPX, 2), f32)], axis=1)              # (TPX, 8)
 
-    out_total = out_ref[0]                 # (TPX, NCH)
-    g = g_ref[0]
-    GG = jnp.sum(g * out_total, axis=1, keepdims=True)
-    n_chunks = pl.cdiv(count, chunk)
+    if mode == "pose":
+        red = jnp.zeros((1, 12), f32)
+        ones_row = jnp.ones((1, chunk), f32)
 
-    def cond(carry):
-        c, T, _ = carry
-        return (c < n_chunks) & (jnp.max(T) >= T_TERMINATE)
+    for b in range(block):
+        tl = blk * block + b
+        count = count_ref[tl]
+        t = tl + meta_ref[1]
+        px, py = _pixel_coords(t // tiles_x, t % tiles_x, f32)
+        tox = ((t % tiles_x) * TILE).astype(f32)
+        toy = ((t // tiles_x) * TILE).astype(f32)
 
-    def body(carry):
-        c, T, Hpref = carry
-        j0 = c * chunk
-        rec = slots_ref[0, :, pl.ds(j0, chunk)]
-        p = _project_chunk(rec, cp_ref)
+        if mode != "pose":
+            grad_ref[b] = jnp.zeros((8, mpt), f32)
 
-        dx = px - p["m2x"]
-        dy = py - p["m2y"]
-        ca, cb, cc = p["ca"], p["cb"], p["cc"]
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        expp = jnp.exp(power)
-        alpha_raw = p["op"] * expp
-        clamped = alpha_raw > ALPHA_MAX
-        alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-        keep = (power <= 0) & (alpha >= ALPHA_MIN) & (lane + j0 < count)
-        alpha = jnp.where(keep, alpha, 0.0)
+        out_total = out_ref[b]                         # (NCH, TPX)
+        g = g_ref[b]
+        GG = jnp.sum(g * out_total, axis=0)[:, None]   # (TPX, 1)
+        n_chunks = pl.cdiv(count, chunk)
 
-        cpv = _cumprod_lanes(1.0 - alpha, chunk)
-        T_after = T * cpv
-        T_in = T * _shift_in_ones(cpv, chunk)
-        include = T_after >= T_TERMINATE
-        weight = jnp.where(include, alpha * T_in, 0.0)
+        def cond(carry):
+            c, T, _, _ = carry
+            return (c < n_chunks) & (jnp.max(T) >= T_TERMINATE)
 
-        z = p["z"]
-        cols = jnp.concatenate(
-            [rec[5:8, :], z, jnp.ones_like(z), z * z,
-             jnp.zeros((2, chunk), z.dtype)], axis=0)   # (NCH, chunk)
-        Gc = jax.lax.dot_general(g, cols, (((1,), (0,)), ((), ())),
-                                 precision=jax.lax.Precision.HIGHEST,
-                                 preferred_element_type=f32)  # (TPX, chunk)
-        wGc = weight * Gc
-        Hk = Hpref + _cumsum_lanes(wGc, chunk)
-        inv_om = 1.0 / jnp.maximum(1.0 - alpha, 1e-6)
-        g_alpha = jnp.where(
-            include & keep & (~clamped),
-            T_in * Gc - (GG - Hk) * inv_om, 0.0)
+        def body(carry):
+            c, T, Hpref, red_acc = carry
+            j0 = c * chunk
+            rec = slots_ref[b, :, pl.ds(j0, chunk)]
+            p = _project_chunk(rec, cp_ref)
+            w = _splat_weights(p, rec[5:8, :], px, py, lane, j0, count, T,
+                               chunk, tri)
+            ca, cb, cc = p["ca"], p["cb"], p["cc"]
+            z = p["z"]
 
-        g_power = g_alpha * alpha
-        # pixel-level reductions -> per-slot (1, chunk) rows
-        g_m2x = jnp.sum(g_power * (ca * dx + cb * dy), axis=0, keepdims=True)
-        g_m2y = jnp.sum(g_power * (cc * dy + cb * dx), axis=0, keepdims=True)
-        g_ca = jnp.sum(g_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        g_cb = jnp.sum(g_power * (-dx * dy), axis=0, keepdims=True)
-        g_cc = jnp.sum(g_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-        g_opk = jnp.sum(g_alpha * expp * keep, axis=0, keepdims=True)
-        # color-channel grads: (NCH, chunk) = g^T @ weight
-        g_cols = jax.lax.dot_general(g, weight, (((0,), (0,)), ((), ())),
-                                     precision=jax.lax.Precision.HIGHEST,
-                                     preferred_element_type=f32)
+            # Gc[p, k] = sum_ch g[ch, p] cols[ch, k]
+            Gc = jax.lax.dot_general(g, w["cols"], (((0,), (0,)), ((), ())),
+                                     precision=MATMUL_PRECISION,
+                                     preferred_element_type=f32)  # (TPX, chunk)
+            wGc = w["weight"] * Gc
+            # inclusive lane cumsum as one MXU matmul (see _splat_weights)
+            Hk = Hpref + jax.lax.dot_general(
+                wGc, tri_incl, (((1,), (0,)), ((), ())),
+                precision=MATMUL_PRECISION,
+                preferred_element_type=f32)
+            inv_om = 1.0 / jnp.maximum(1.0 - w["alpha"], 1e-6)
+            g_alpha = jnp.where(
+                w["include"] & w["keep"] & (~w["clamped"]),
+                w["T_in"] * Gc - (GG - Hk) * inv_om, 0.0)
 
-        # ---- per-slot chain back to the 8 input rows ----
-        ok = p["ok"]
-        okf = ok.astype(f32)
-        g_m2x = g_m2x * okf                      # m2x parked at -1e6 when !ok
-        g_rgb = g_cols[0:3, :]
-        g_z_cols = g_cols[3:4, :] + 2.0 * z * g_cols[5:6, :]
-        g_lo = g_opk * p["sig"] * (1.0 - p["sig"]) * okf
+            g_power = g_alpha * w["alpha"]
+            # one MXU contraction yields every pixel moment of g_power:
+            # M = [sum g lx^2, sum g lx ly, sum g ly^2, sum g lx, sum g ly,
+            #      sum g, 0, 0] per slot; the dx/dy-weighted reductions of
+            # the quadratic-form chain are then cheap (1, chunk) row math
+            M = jax.lax.dot_general(phi, g_power, (((0,), (0,)), ((), ())),
+                                    precision=MATMUL_PRECISION,
+                                    preferred_element_type=f32)  # (8, chunk)
+            mxl = p["m2x"] - tox                 # slot mean in local coords
+            myl = p["m2y"] - toy
+            s_dx = M[3:4, :] - mxl * M[5:6, :]               # sum g dx
+            s_dy = M[4:5, :] - myl * M[5:6, :]               # sum g dy
+            s_dxx = M[0:1, :] - 2.0 * mxl * M[3:4, :] + mxl * mxl * M[5:6, :]
+            s_dxy = (M[1:2, :] - myl * M[3:4, :] - mxl * M[4:5, :]
+                     + mxl * myl * M[5:6, :])
+            s_dyy = M[2:3, :] - 2.0 * myl * M[4:5, :] + myl * myl * M[5:6, :]
+            g_ca = -0.5 * s_dxx
+            g_cb = -s_dxy
+            g_cc = -0.5 * s_dyy
+            # color-channel grads: (NCH, chunk) = g @ weight
+            g_cols = jax.lax.dot_general(
+                g, w["weight"], (((1,), (0,)), ((), ())),
+                precision=MATMUL_PRECISION,
+                preferred_element_type=f32)
 
-        # conic = V^{-1}: dL/dV = -C (dL/dC) C with symmetric packing
-        a0, a1, a2 = g_ca, 0.5 * g_cb, g_cc
-        ca0 = ca * a0 + cb * a1
-        ca1 = ca * a1 + cb * a2
-        cb0 = cb * a0 + cc * a1
-        cb1 = cb * a1 + cc * a2
-        g_v00 = -(ca0 * ca + ca1 * cb)
-        g_v01 = -2.0 * (ca0 * cb + ca1 * cc)
-        g_v11 = -(cb0 * cb + cb1 * cc)
+            ok = p["ok"]
+            okf = ok.astype(f32)
 
-        g_s2 = g_v00 * p["ax"] + g_v01 * p["bxy"] + g_v11 * p["cy_"]
-        g_ls = 2.0 * p["s2"] * g_s2 * okf
-        s2v = p["s2"]
-        j00, j02, j11, j12 = p["j00"], p["j02"], p["j11"], p["j12"]
-        g_j00 = 2.0 * s2v * j00 * g_v00
-        g_j02 = s2v * (2.0 * j02 * g_v00 + j12 * g_v01)
-        g_j11 = 2.0 * s2v * j11 * g_v11
-        g_j12 = s2v * (2.0 * j12 * g_v11 + j02 * g_v01)
+            # conic = V^{-1}: dL/dV = -C (dL/dC) C with symmetric packing
+            a0, a1, a2 = g_ca, 0.5 * g_cb, g_cc
+            ca0 = ca * a0 + cb * a1
+            ca1 = ca * a1 + cb * a2
+            cb0 = cb * a0 + cc * a1
+            cb1 = cb * a1 + cc * a2
+            g_v00 = -(ca0 * ca + ca1 * cb)
+            g_v01 = -2.0 * (ca0 * cb + ca1 * cc)
+            g_v11 = -(cb0 * cb + cb1 * cc)
 
-        fx, fy = p["fx"], p["fy"]
-        iz, zs = p["iz"], p["zs"]
-        iz2 = iz * iz
-        tx = p["cux"] * zs
-        ty = p["cuy"] * zs
-        # j00 = fx iz ; j02 = -fx tx iz^2 ; j11 = fy iz ; j12 = -fy ty iz^2
-        g_iz = fx * g_j00 + fy * g_j11 \
-            - 2.0 * fx * tx * iz * g_j02 - 2.0 * fy * ty * iz * g_j12
-        g_tx = -fx * iz2 * g_j02
-        g_ty = -fy * iz2 * g_j12
-        # tx = clip(x/z, +-lim) * zs
-        in_x = (jnp.abs(p["ux"]) <= p["limx"]).astype(f32)
-        in_y = (jnp.abs(p["uy"]) <= p["limy"]).astype(f32)
-        g_x = g_tx * in_x + g_m2x * fx * iz
-        g_y = g_ty * in_y + g_m2y * fy * iz
-        g_zs_tx = g_tx * (p["cux"] - in_x * p["ux"])
-        g_zs_ty = g_ty * (p["cuy"] - in_y * p["uy"])
-        # m2x = fx x iz + ... ; m2y = fy y iz + ...
-        g_iz = g_iz + g_m2x * fx * p["x"] + g_m2y * fy * p["y"]
-        g_zs = g_zs_tx + g_zs_ty - iz2 * g_iz
-        g_z_total = (g_zs + g_z_cols) * okf
+            if mode != "pose":
+                # g_power = g_alpha * op * expp on every surviving pair, so
+                # sum g_alpha expp = M5 / op (exact where op > 0; op == 0
+                # slots contribute no g_power and get g_lo = 0 anyway)
+                iop = jnp.where(p["op"] > 0, 1.0 / jnp.maximum(p["op"], 1e-30),
+                                0.0)
+                g_opk = M[5:6, :] * iop
+                g_lo = g_opk * p["sig"] * (1.0 - p["sig"]) * okf
+                g_rgb = g_cols[0:3, :]
+                g_s2 = (g_v00 * p["ax"] + g_v01 * p["bxy"]
+                        + g_v11 * p["cy_"])
+                g_ls = 2.0 * p["s2"] * g_s2 * okf
 
-        gk = jnp.concatenate(
-            [g_x * okf, g_y * okf, g_z_total, g_lo, g_ls, g_rgb], axis=0)
-        grad_ref[0, :, pl.ds(j0, chunk)] = gk
+            if mode != "vals":
+                g_m2x = (ca * s_dx + cb * s_dy) * okf
+                g_m2y = cc * s_dy + cb * s_dx
+                g_z_cols = g_cols[3:4, :] + 2.0 * z * g_cols[5:6, :]
 
-        T_last = T_after[:, chunk - 1:chunk]
-        T_new = jnp.where(T_last < T_TERMINATE, 0.0, T_last)
-        return c + 1, T_new, Hpref + jnp.sum(wGc, axis=1, keepdims=True)
+                s2v = p["s2"]
+                j00, j02, j11, j12 = p["j00"], p["j02"], p["j11"], p["j12"]
+                g_j00 = 2.0 * s2v * j00 * g_v00
+                g_j02 = s2v * (2.0 * j02 * g_v00 + j12 * g_v01)
+                g_j11 = 2.0 * s2v * j11 * g_v11
+                g_j12 = s2v * (2.0 * j12 * g_v11 + j02 * g_v01)
 
-    T0 = jnp.ones((TPX, 1), f32)
-    H0 = jnp.zeros((TPX, 1), f32)
-    jax.lax.while_loop(cond, body, (0, T0, H0))
+                fx, fy = p["fx"], p["fy"]
+                iz, zs = p["iz"], p["zs"]
+                iz2 = iz * iz
+                tx = p["cux"] * zs
+                ty = p["cuy"] * zs
+                # j00 = fx iz ; j02 = -fx tx iz^2 ; j11 = fy iz ;
+                # j12 = -fy ty iz^2
+                g_iz = fx * g_j00 + fy * g_j11 \
+                    - 2.0 * fx * tx * iz * g_j02 - 2.0 * fy * ty * iz * g_j12
+                g_tx = -fx * iz2 * g_j02
+                g_ty = -fy * iz2 * g_j12
+                # tx = clip(x/z, +-lim) * zs
+                in_x = (jnp.abs(p["ux"]) <= p["limx"]).astype(f32)
+                in_y = (jnp.abs(p["uy"]) <= p["limy"]).astype(f32)
+                g_x = (g_tx * in_x + g_m2x * fx * iz) * okf
+                g_y = (g_ty * in_y + g_m2y * fy * iz) * okf
+                g_zs_tx = g_tx * (p["cux"] - in_x * p["ux"])
+                g_zs_ty = g_ty * (p["cuy"] - in_y * p["uy"])
+                # m2x = fx x iz + ... ; m2y = fy y iz + ...
+                g_iz = g_iz + g_m2x * fx * p["x"] + g_m2y * fy * p["y"]
+                g_zs = g_zs_tx + g_zs_ty - iz2 * g_iz
+                g_z = (g_zs + g_z_cols) * okf
+
+            if mode == "vals":
+                gk = jnp.concatenate(
+                    [jnp.zeros((3, chunk), f32), g_lo, g_ls, g_rgb], axis=0)
+                grad_ref[b, :, pl.ds(j0, chunk)] = gk
+            elif mode == "all":
+                gk = jnp.concatenate([g_x, g_y, g_z, g_lo, g_ls, g_rgb],
+                                     axis=0)
+                grad_ref[b, :, pl.ds(j0, chunk)] = gk
+            else:  # pose: contract in-kernel against world means
+                g_cam = jnp.concatenate([g_x, g_y, g_z], axis=0)  # (3, chunk)
+                mw = rec[0:3, :]
+                rows = [jax.lax.dot_general(
+                    g_cam[i:i + 1, :], mw, (((1,), (1,)), ((), ())),
+                    precision=MATMUL_PRECISION,
+                    preferred_element_type=f32) for i in range(3)]
+                gt_row = jax.lax.dot_general(
+                    ones_row, g_cam, (((1,), (1,)), ((), ())),
+                    precision=MATMUL_PRECISION,
+                    preferred_element_type=f32)                   # (1, 3)
+                red_acc = red_acc + jnp.concatenate(rows + [gt_row], axis=1)
+
+            T_last = w["T_after"][:, chunk - 1:chunk]
+            T_new = jnp.where(T_last < T_TERMINATE, 0.0, T_last)
+            return (c + 1, T_new, Hpref + jnp.sum(wGc, axis=1, keepdims=True),
+                    red_acc)
+
+        T0 = jnp.ones((TPX, 1), f32)
+        H0 = jnp.zeros((TPX, 1), f32)
+        red0 = jnp.zeros((1, 12), f32)
+        _, _, _, red_tile = jax.lax.while_loop(cond, body, (0, T0, H0, red0))
+        if mode == "pose":
+            red = red + red_tile
+
+    if mode == "pose":
+        row = jnp.concatenate([red, jnp.zeros((1, 128 - 12), f32)], axis=1)
+        grad_ref[0] = jnp.concatenate([row, jnp.zeros((7, 128), f32)], axis=0)
 
 
 def _cp_vector(R: jnp.ndarray, trans: jnp.ndarray, cam: Camera):
@@ -312,41 +449,40 @@ def _params(interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def splat_blend(slots8: jnp.ndarray, R: jnp.ndarray, trans: jnp.ndarray,
-                counts: jnp.ndarray, tile_offset: jnp.ndarray,
-                cam: Camera, tiles_x: int,
+def splat_blend(slots8: jnp.ndarray, R: jnp.ndarray,
+                trans: jnp.ndarray, counts: jnp.ndarray,
+                tile_offset: jnp.ndarray, cam: Camera, tiles_x: int,
                 chunk: int = 128, interpret: bool = False,
                 grad_mode: str = "all") -> jnp.ndarray:
-    """slots8 [n_tiles, SREC, mpt] + pose -> accum [n_tiles, TPX, NCH].
+    """slots8 [T,8,mpt] + pose -> accum [T, NCH, TPX].
 
-    grad_mode selects which cotangents the backward materializes — the
-    XLA-level contractions (R^T g for world means, the sum g (x) w for dR)
-    cost several ms at SLAM working sets, so callers that statically know
-    what they optimize skip the rest:
-      "pose": only (dR, dt); slot cotangent rows are zeros (tracking)
-      "vals": only slot rows 3..7 (logit_op/log_scale/rgb); dR = dt = 0
-              and mean rows are zeros (mapping)
+    T must be a multiple of BLOCK (see pad_tiles; padded tiles carry count 0).
+    grad_mode selects the specialized backward (module docstring):
+      "pose": only (dR, dt) — slot cotangents are zeros (tracking)
+      "vals": only rows 3..7 — dR = dt = 0, mean rows zeroed (mapping)
       "all":  everything (generic / tests)
     """
-    return _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x,
-                     chunk, interpret)
+    return _fwd_call(slots8, R, trans, counts, tile_offset, cam,
+                     tiles_x, chunk, interpret)
 
 
-def _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x, chunk,
-              interpret):
+def _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x,
+              chunk, interpret):
     n_tiles, _, mpt = slots8.shape
-    kernel = functools.partial(_fwd_kernel, chunk=chunk, mpt=mpt)
+    assert n_tiles % BLOCK == 0, (n_tiles, BLOCK)
+    kernel = functools.partial(_fwd_kernel, chunk=chunk, mpt=mpt, block=BLOCK)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(n_tiles,),
-            in_specs=[pl.BlockSpec((1, SREC, mpt),
-                                   lambda t, c_, tx_, cp_: (t, 0, 0))],
-            out_specs=pl.BlockSpec((1, TPX, NCH),
-                                   lambda t, c_, tx_, cp_: (t, 0, 0)),
+            grid=(n_tiles // BLOCK,),
+            in_specs=[
+                pl.BlockSpec((BLOCK, 8, mpt), lambda t, c_, m_, cp_: (t, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK, NCH, TPX),
+                                   lambda t, c_, m_, cp_: (t, 0, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, TPX, NCH), slots8.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, NCH, TPX), slots8.dtype),
         compiler_params=_params(interpret),
         interpret=interpret,
     )(counts,
@@ -355,34 +491,41 @@ def _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x, chunk,
       _cp_vector(R, trans, cam), slots8)
 
 
-def _splat_fwd(slots8, R, trans, counts, tile_offset, cam, tiles_x, chunk,
-               interpret, grad_mode):
-    out = _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x,
-                    chunk, interpret)
+def _splat_fwd(slots8, R, trans, counts, tile_offset, cam, tiles_x,
+               chunk, interpret, grad_mode):
+    out = _fwd_call(slots8, R, trans, counts, tile_offset, cam,
+                    tiles_x, chunk, interpret)
     return out, (slots8, R, trans, counts, tile_offset, out)
 
 
-def _splat_bwd(cam, tiles_x, chunk, interpret, grad_mode, res, g):
-    slots8, R, trans, counts, tile_offset, out = res
+def _bwd_call(slots8, R, trans, counts, tile_offset, out, g, cam,
+              tiles_x, chunk, interpret, mode):
     n_tiles, _, mpt = slots8.shape
-    kernel = functools.partial(_bwd_kernel, chunk=chunk, mpt=mpt)
-    grad = pl.pallas_call(
+    kernel = functools.partial(_bwd_kernel, chunk=chunk, mpt=mpt, block=BLOCK,
+                               mode=mode)
+    if mode == "pose":
+        out_shape = jax.ShapeDtypeStruct((n_tiles // BLOCK, 8, 128),
+                                         slots8.dtype)
+        out_spec = pl.BlockSpec((1, 8, 128), lambda t, c_, m_, cp_: (t, 0, 0))
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_tiles, 8, mpt), slots8.dtype)
+        out_spec = pl.BlockSpec((BLOCK, 8, mpt),
+                                lambda t, c_, m_, cp_: (t, 0, 0))
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(n_tiles,),
+            grid=(n_tiles // BLOCK,),
             in_specs=[
-                pl.BlockSpec((1, SREC, mpt),
-                             lambda t, c_, tx_, cp_: (t, 0, 0)),
-                pl.BlockSpec((1, TPX, NCH),
-                             lambda t, c_, tx_, cp_: (t, 0, 0)),
-                pl.BlockSpec((1, TPX, NCH),
-                             lambda t, c_, tx_, cp_: (t, 0, 0)),
+                pl.BlockSpec((BLOCK, 8, mpt), lambda t, c_, m_, cp_: (t, 0, 0)),
+                pl.BlockSpec((BLOCK, NCH, TPX),
+                             lambda t, c_, m_, cp_: (t, 0, 0)),
+                pl.BlockSpec((BLOCK, NCH, TPX),
+                             lambda t, c_, m_, cp_: (t, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, SREC, mpt),
-                                   lambda t, c_, tx_, cp_: (t, 0, 0)),
+            out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, SREC, mpt), slots8.dtype),
+        out_shape=out_shape,
         compiler_params=_params(interpret),
         interpret=interpret,
     )(counts,
@@ -390,29 +533,30 @@ def _splat_bwd(cam, tiles_x, chunk, interpret, grad_mode, res, g):
                  jnp.asarray(tile_offset, jnp.int32)]),
       _cp_vector(R, trans, cam), slots8, out, g)
 
-    # cotangents at the XLA level, restricted by grad_mode so the hot loops
-    # never pay for contractions they do not consume
-    n_tiles_, _, mpt_ = slots8.shape
-    zeros3 = jnp.zeros((n_tiles_, 3, mpt_), slots8.dtype)
-    if grad_mode in ("pose", "all"):
-        g_mc = grad[:, 0:3, :]                   # d/d mean_cam
-        w = slots8[:, 0:3, :]
-        g_R = jnp.einsum("tim,tjm->ij", g_mc, w).reshape(9)
-        g_t = jnp.sum(g_mc, axis=(0, 2))
-    else:
-        g_R = jnp.zeros((9,), slots8.dtype)
-        g_t = jnp.zeros((3,), slots8.dtype)
-    if grad_mode == "all":
-        g_w = jnp.einsum("ij,tjm->tim", R.reshape(3, 3).T, g_mc)
-    else:
-        g_w = zeros3
+
+def _splat_bwd(cam, tiles_x, chunk, interpret, grad_mode, res, g):
+    slots8, R, trans, counts, tile_offset, out = res
+    n_tiles, _, mpt = slots8.shape
+    f32 = slots8.dtype
+    grad = _bwd_call(slots8, R, trans, counts, tile_offset, out, g,
+                     cam, tiles_x, chunk, interpret, grad_mode)
+
     if grad_mode == "pose":
-        g_slots8 = jnp.concatenate(
-            [g_w, jnp.zeros((n_tiles_, 5, mpt_), slots8.dtype)], axis=1)
-    else:
-        g_slots8 = jnp.concatenate([g_w, grad[:, 3:8, :]], axis=1)
+        g_R = jnp.sum(grad[:, 0, 0:9], axis=0)
+        g_t = jnp.sum(grad[:, 0, 9:12], axis=0)
+        g_slots = jnp.zeros((n_tiles, 8, mpt), f32)
+    elif grad_mode == "vals":
+        g_R = jnp.zeros((9,), f32)
+        g_t = jnp.zeros((3,), f32)
+        g_slots = grad          # mean rows zeroed in-kernel; NO slicing here
+    else:  # all
+        g_mc = grad[:, 0:3, :]                   # d/d mean_cam
+        g_R = jnp.einsum("tim,tjm->ij", g_mc, slots8[:, 0:3, :]).reshape(9)
+        g_t = jnp.sum(g_mc, axis=(0, 2))
+        g_w = jnp.einsum("ij,tjm->tim", R.reshape(3, 3).T, g_mc)
+        g_slots = jnp.concatenate([g_w, grad[:, 3:8, :]], axis=1)
     f0 = jax.dtypes.float0
-    return (g_slots8, g_R, g_t, np.zeros(counts.shape, f0),
+    return (g_slots, g_R, g_t, np.zeros(counts.shape, f0),
             np.zeros(jnp.shape(tile_offset), f0))
 
 
@@ -421,10 +565,11 @@ splat_blend.defvjp(_splat_fwd, _splat_bwd)
 
 def assemble_image(accum: jnp.ndarray, cam: Camera,
                    tile: int = TILE) -> jnp.ndarray:
-    """[n_tiles, TPX, NCH] -> (6, H, W) SLAM channel stack."""
+    """[Tp, NCH, TPX] (channel-major, possibly block-padded) -> (6, H, W)."""
     tiles_x = -(-cam.width // tile)
     tiles_y = -(-cam.height // tile)
-    img = accum[..., :6].reshape(tiles_y, tiles_x, tile, tile, 6)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(6, tiles_y * tile,
+    n_tiles = tiles_x * tiles_y
+    img = accum[:n_tiles, :6, :].reshape(tiles_y, tiles_x, 6, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(6, tiles_y * tile,
                                                tiles_x * tile)
     return img[:, :cam.height, :cam.width]

@@ -42,10 +42,21 @@ def main():
 
     from vtgaussian_slam_tpu.core.config import prepare_config
     from vtgaussian_slam_tpu.eval.evaluate import eval_sequence
+    from vtgaussian_slam_tpu.eval.lpips import lpips_fn
 
     config = prepare_config(config)
     eval_dir = os.path.join(results_dir, "eval")
     os.makedirs(eval_dir, exist_ok=True)
+
+    # LPIPS column is populated when pretrained AlexNet weights are supplied
+    # via VTGS_LPIPS_WEIGHTS (see eval/lpips.py and eval/lpips_convert.py),
+    # NaN otherwise — matching the reference's always-on torchmetrics LPIPS
+    # (/root/reference/utils/eval_helpers.py:20-27,455) up to weight
+    # availability in this egress-free environment.
+    lpips = lpips_fn()
+    if lpips is None and os.environ.get("VTGS_LPIPS_WEIGHTS"):
+        print("WARNING: VTGS_LPIPS_WEIGHTS set but weights failed to load; "
+              "LPIPS will be NaN")
 
     if config["eval_mode"]:
         from vtgaussian_slam_tpu.core.pipeline import build_dataset
@@ -73,6 +84,7 @@ def main():
             backend_kwargs=eval_backend_kwargs(
                 list(params_ls), color0.shape[0], color0.shape[1],
                 config.get("tpu")),
+            lpips_fn=lpips,
         )
         return
 
@@ -106,6 +118,7 @@ def main():
         # smaller eval budget truncates trained blend depth and
         # under-reports quality
         backend_kwargs=dict(engine.backend_kwargs),
+        lpips_fn=lpips,
     )
 
 

@@ -201,3 +201,18 @@ class TestAutoPairBudget:
         expect = auto_pair_budget(n, 12, cfg["tpu"]["span_cap"], 64)
         assert expect > 64
         assert bk["max_pairs_per_tile"] == expect
+
+
+class TestTrackingLossViz:
+    def test_viz_dump_lands(self, tmp_path):
+        """visualize_tracking_loss writes per-frame debug figures
+        (reference :616-675; fused-loop per-frame equivalent)."""
+        cfg = make_config(num_frames=3, track_iters=3, map_iters=2)
+        cfg["workdir"] = str(tmp_path)
+        cfg["tracking"]["visualize_tracking_loss"] = True
+        eng = VTGaussianSLAM(cfg)
+        eng.run(progress=False)
+        import glob
+        pngs = glob.glob(str(tmp_path / "synthetic" / "tracking_loss_viz"
+                             / "frame*.png"))
+        assert len(pngs) >= 2, pngs

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from vtgaussian_slam_tpu.core.losses import Frame, LossConfig, render_slam
 from vtgaussian_slam_tpu.core.map_cache import (build_global_cache,
-                                                build_kf_cache, pack_vals5,
+                                                build_kf_cache, pack_fields8,
                                                 render_binned,
                                                 render_binned_global)
 from vtgaussian_slam_tpu.core.mapping import (KeyframeBuffer, MappingConfig,
@@ -105,7 +105,7 @@ class TestRenderBinned:
         ref = render_slam(params, active, quat, trans, CAM, BK)
         kfc = build_kf_cache(params, active, quat, trans, CAM, span_cap=2,
                              max_pairs_per_tile=MPT)
-        got = render_binned(pack_vals5(params), params.means3d, kfc, CAM)
+        got = render_binned(pack_fields8(params), kfc, CAM)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(got.depth),
@@ -131,7 +131,7 @@ class TestRenderBinned:
                           trans, CAM, BK)
         gc = build_global_cache(fixed, f_active, params, active, quat, trans,
                                 CAM, span_cap=2, max_pairs_per_tile=MPT)
-        got = render_binned_global(pack_vals5(params), params.means3d, gc, CAM)
+        got = render_binned_global(pack_fields8(params), gc, CAM)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
                                    atol=1e-5)
 
@@ -143,29 +143,34 @@ class TestRenderBinned:
         gc = build_global_cache(fixed, f_active, params, active, quat, trans,
                                 CAM, span_cap=2, max_pairs_per_tile=MPT)
 
-        def loss_binned(v5):
-            return jnp.sum(render_binned_global(v5, params.means3d, gc, CAM).im ** 2)
+        def loss_binned(v8):
+            return jnp.sum(render_binned_global(v8, gc, CAM).im ** 2)
 
-        def loss_ref(v5):
-            # pack_vals5 order: [logit_op, log_scale, r, g, b]
+        def loss_ref(v8):
+            # pack_fields8 cols: [means3d(3), logit_op, log_scale, r, g, b]
             cat = GaussianParams(
                 means3d=jnp.concatenate([fixed.means3d, params.means3d]),
-                rgb_colors=jnp.concatenate([fixed.rgb_colors, v5[:, 2:5]]),
+                rgb_colors=jnp.concatenate([fixed.rgb_colors, v8[:, 5:8]]),
                 unnorm_rotations=jnp.concatenate(
                     [fixed.unnorm_rotations, params.unnorm_rotations]),
                 logit_opacities=jnp.concatenate(
-                    [fixed.logit_opacities, v5[:, 0:1]]),
-                log_scales=jnp.concatenate([fixed.log_scales, v5[:, 1:2]]),
+                    [fixed.logit_opacities, v8[:, 3:4]]),
+                log_scales=jnp.concatenate([fixed.log_scales, v8[:, 4:5]]),
             )
             r = render_slam(cat, jnp.concatenate([f_active, active]), quat,
                             trans, CAM, BK)
             return jnp.sum(r.im ** 2)
 
-        v5 = pack_vals5(params)
-        g_binned = jax.grad(loss_binned)(v5)
-        g_ref = jax.grad(loss_ref)(v5)
-        np.testing.assert_allclose(np.asarray(g_binned), np.asarray(g_ref),
+        v8 = pack_fields8(params)
+        g_binned = jax.grad(loss_binned)(v8)
+        g_ref = jax.grad(loss_ref)(v8)
+        # mean columns carry zero grads by kernel construction in the binned
+        # path; the generic path never sees them as inputs — compare the
+        # trainable columns
+        np.testing.assert_allclose(np.asarray(g_binned[:, 3:8]),
+                                   np.asarray(g_ref[:, 3:8]),
                                    rtol=2e-3, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(g_binned[:, 0:3]), 0.0)
 
 
 def _frames(params, active, poses):

@@ -23,7 +23,14 @@ def prepare_config(config: dict) -> dict:
     tr.setdefault("forward_prop", True)
     tr.setdefault("frustum", True)
     tr.setdefault("p2p_method", "sum")
+    # onlybase_overlap=False (per-iteration p2p against EVERY candidate base,
+    # /root/reference/src/vtgaussian_slam.py:1938-1959) is an ablation no
+    # shipped reference config enables; explicitly descoped (PARITY.md).
     tr.setdefault("onlybase_overlap", True)
+    if not tr["onlybase_overlap"]:
+        raise NotImplementedError(
+            "onlybase_overlap=False is a descoped reference ablation "
+            "(off in every shipped config); see PARITY.md")
     tr.setdefault("edge", 20)
     tr.setdefault("keyframe_thresh", 0.5)
     tr.setdefault("kf_depth_thresh", 0.01)

@@ -36,8 +36,10 @@ import jax.numpy as jnp
 
 from ..models.gaussians import GaussianParams
 from ..ops.camera import Camera
-from ..ops.rasterizer.binning import bin_gaussians, slots8_gather
-from ..ops.rasterizer.pallas_splat import assemble_image, splat_blend
+from ..ops.rasterizer.binning import (CompactInv, bin_gaussians,
+                                      compact_inverse, gather_channels)
+from ..ops.rasterizer.pallas_splat import (_bwd_call, _fwd_call,
+                                           assemble_image, splat_blend)
 from ..ops.rasterizer.projection import project_gaussians
 from .losses import RenderResult
 from .track_cache import pad_bin_tables
@@ -47,7 +49,7 @@ class KFBinCache(NamedTuple):
     """Per-keyframe frozen binning (stack these along a leading B axis)."""
     tab: jnp.ndarray        # (Tp, mpt) int32
     counts: jnp.ndarray     # (Tp,) int32
-    inv_pos: jnp.ndarray    # (N, s2) int32, -1 = culled/truncated
+    inv: CompactInv         # compacted inverse map (binning.compact_inverse)
     quat: jnp.ndarray       # (4,) keyframe w2c rotation (unnormalized)
     trans: jnp.ndarray      # (3,)
 
@@ -58,25 +60,26 @@ class GlobalBinCache(NamedTuple):
     (/root/reference/src/vtgaussian_slam.py:2485-2510,2595-2603)."""
     tab: jnp.ndarray         # (Tp, mpt) int32 indices into the concat
     counts: jnp.ndarray      # (Tp,)
-    inv_pos: jnp.ndarray     # (N, s2) positions of TRAINABLE gaussians
+    inv: CompactInv          # compact inverse of TRAINABLE gaussians
     quat: jnp.ndarray        # (4,) base keyframe w2c rotation
     trans: jnp.ndarray       # (3,)
     fixed_fields8: jnp.ndarray  # (n_fixed, 8) frozen field rows
 
 
-def pack_vals5(params: GaussianParams) -> jnp.ndarray:
-    """The mapping-trainable channels as one (N, 5) buffer, in the fused
-    splat kernel's row order: [logit_op, log_scale, r, g, b]."""
-    return jnp.concatenate(
-        [params.logit_opacities, params.log_scales, params.rgb_colors],
-        axis=1)
+def pack_fields8(params: GaussianParams) -> jnp.ndarray:
+    """The full (N, 8) field table [means3d, logit_op, log_scale, rgb].
+    The mapping loop carries THIS as its Adam state (zero lrs on the mean
+    columns, whose gradients the kernel zeroes by construction) so no
+    per-iteration concat or column slice touches the (N, .) buffers."""
+    from .track_cache import fields8
+    return fields8(params)
 
 
-def unpack_vals5(params: GaussianParams, vals5: jnp.ndarray) -> GaussianParams:
+def unpack_fields8(params: GaussianParams, f8: jnp.ndarray) -> GaussianParams:
     return params.replace(
-        logit_opacities=vals5[:, 0:1],
-        log_scales=vals5[:, 1:2],
-        rgb_colors=vals5[:, 2:5],
+        logit_opacities=f8[:, 3:4],
+        log_scales=f8[:, 4:5],
+        rgb_colors=f8[:, 5:8],
     )
 
 
@@ -108,7 +111,8 @@ def build_kf_cache(
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
     tab, counts = pad_bin_tables(b.tab, b.counts)
-    return KFBinCache(tab=tab, counts=counts, inv_pos=b.inv_pos,
+    inv = compact_inverse(b.inv_pos)
+    return KFBinCache(tab=tab, counts=counts, inv=inv,
                       quat=cam_quat, trans=cam_trans)
 
 
@@ -150,55 +154,113 @@ def build_global_cache(
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
     tab, counts = pad_bin_tables(b.tab, b.counts)
+    inv = compact_inverse(b.inv_pos[n_fixed:])
     from .track_cache import fields8
-    return GlobalBinCache(tab=tab, counts=counts,
-                          inv_pos=b.inv_pos[n_fixed:],
+    return GlobalBinCache(tab=tab, counts=counts, inv=inv,
                           quat=cam_quat, trans=cam_trans,
                           fixed_fields8=fields8(fixed_params))
 
 
-def _splat(slots8, quat, trans, counts, cam: Camera, chunk: int,
-           tile: int = 16) -> RenderResult:
-    from ..ops import geometry as geo
-
-    q = geo.normalize(quat)
-    R = geo.quat_to_rotmat(q)
-    tiles_x = -(-cam.width // tile)
-    accum = splat_blend(slots8, R.reshape(9), trans, counts,
-                        jnp.zeros((), jnp.int32), cam, tiles_x,
-                        max(chunk, 128), jax.default_backend() == "cpu",
-                        "vals")
+def _accum_to_result(accum, cam: Camera, tile: int = 16) -> RenderResult:
     img = assemble_image(accum, cam, tile)
     return RenderResult(im=img[:3], depth=img[3:4], silhouette=img[4],
                         depth_sq=img[5:6], radii=jnp.zeros((1,), img.dtype))
 
 
-def render_binned(vals5: jnp.ndarray, means3d: jnp.ndarray,
-                  kfc: KFBinCache, cam: Camera,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def splat_binned(fields8, tab, main, ov_pos, ov_slot, quat, trans, counts,
+                 cam: Camera, chunk: int, interpret: bool):
+    """Fused differentiable binned render for the mapping loop:
+    fields8 (M, 8) -> slot gather (frozen tab) -> fused splat kernel ->
+    accum (Tp, NCH, TPX).
+
+    One custom VJP spans the gather AND the blend so the backward can use
+    the kernel's ROW-major "vals_rows" gradient layout directly: the flat
+    (P, 8) view reads one 32-byte sector per gathered row, where chaining
+    two custom VJPs would force the (Tp, 8, mpt) cotangent layout whose
+    per-row reads stride 8 HBM transactions (measured 25.5 -> ~9 ms at the
+    Replica working set). Only the LAST Ng rows of fields8 (those covered
+    by main) receive gradients; pose cotangents are zero (mapping
+    never differentiates pose — lrs 1e-8/1e-7 are the reference's no-op)."""
+    return _splat_binned_fwd(fields8, tab, main, ov_pos, ov_slot, quat,
+                             trans, counts, cam, chunk, interpret)[0]
+
+
+def _splat_binned_fwd(fields8, tab, main, ov_pos, ov_slot, quat, trans,
+                      counts, cam, chunk, interpret):
+    from ..ops import geometry as geo
+
+    tiles_x = -(-cam.width // 16)
+    q = geo.normalize(quat)
+    R9 = geo.quat_to_rotmat(q).reshape(9)
+    slots = gather_channels(fields8, tab)                  # (Tp, 8, mpt)
+    accum = _fwd_call(slots, R9, trans, counts, jnp.zeros((), jnp.int32),
+                      cam, tiles_x, chunk, interpret)
+    res = (slots, R9, trans, counts, accum, main, ov_pos, ov_slot,
+           fields8.shape[0])
+    return accum, res
+
+
+def _splat_binned_bwd(cam, chunk, interpret, res, g):
+    import numpy as np
+    slots, R9, trans, counts, accum, main, ov_pos, ov_slot, M = res
+    tiles_x = -(-cam.width // 16)
+    Tp, _, mpt = slots.shape
+    P = Tp * mpt
+    mcap = ov_pos.shape[0]
+    grad_rows = _bwd_call(slots, R9, trans, counts, jnp.zeros((), jnp.int32),
+                          accum, g, cam, tiles_x, chunk, interpret,
+                          "vals_rows")                     # (Tp, mpt, 8)
+    flat = grad_rows.reshape(P, 8)
+    m2 = (main >= 0).astype(flat.dtype)[..., None]
+    g_main = jnp.sum(flat[jnp.clip(main, 0, P - 1)] * m2, axis=1)  # (Ng, 8)
+    mo = (ov_pos >= 0).astype(flat.dtype)[..., None]
+    ov_rows = jnp.sum(flat[jnp.clip(ov_pos, 0, P - 1)] * mo, axis=1)
+    valid = (ov_slot < mcap).astype(flat.dtype)[:, None]
+    g_tail = g_main + ov_rows[jnp.clip(ov_slot, 0, mcap - 1)] * valid
+    Ng = main.shape[0]
+    if Ng < M:
+        g_tail = jnp.concatenate(
+            [jnp.zeros((M - Ng, 8), flat.dtype), g_tail], axis=0)
+    f0 = jax.dtypes.float0
+    g_tab = np.zeros((Tp, mpt), f0)
+    return (g_tail, g_tab, np.zeros(main.shape, f0),
+            np.zeros(ov_pos.shape, f0), np.zeros(ov_slot.shape, f0),
+            jnp.zeros((4,), flat.dtype), jnp.zeros((3,), flat.dtype),
+            np.zeros(counts.shape, f0))
+
+
+splat_binned.defvjp(_splat_binned_fwd, _splat_binned_bwd)
+
+
+def render_binned(fields8: jnp.ndarray, kfc: KFBinCache, cam: Camera,
                   chunk: int = 128) -> RenderResult:
     """Render the trainable section through one keyframe's frozen binning.
 
-    vals5: (N, 5) trainable rows (pack_vals5); means3d: (N, 3) frozen."""
-    f8 = jnp.concatenate([jax.lax.stop_gradient(means3d), vals5], axis=1)
-    slots = slots8_gather(f8, kfc.tab, kfc.inv_pos)        # (Tp, 8, mpt)
-    return _splat(slots, kfc.quat, kfc.trans, kfc.counts, cam, chunk)
+    fields8: (N, 8) rows [means3d (frozen; zero grads by kernel
+    construction), logit_op, log_scale, rgb] (track_cache.fields8)."""
+    accum = splat_binned(fields8, kfc.tab, kfc.inv.main, kfc.inv.ov_pos,
+                         kfc.inv.ov_slot, kfc.quat, kfc.trans, kfc.counts,
+                         cam, max(chunk, 128),
+                         jax.default_backend() == "cpu")
+    return _accum_to_result(accum, cam)
 
 
-def render_binned_global(vals5: jnp.ndarray, means3d: jnp.ndarray,
-                         gc: GlobalBinCache, cam: Camera,
-                         chunk: int = 128) -> RenderResult:
+def render_binned_global(fields8: jnp.ndarray, gc: GlobalBinCache,
+                         cam: Camera, chunk: int = 128) -> RenderResult:
     """Render [frozen prefix + trainable] through the global binning.
 
     The table indexes the concat [frozen prefix; trainable section]; the
-    backward of slots8_gather returns zeros for the prefix rows (inv_pos
-    covers only the trainable tail), so gradients stay scatter-free and
-    flow to the trainable section only."""
-    f8 = jnp.concatenate([
-        jax.lax.stop_gradient(gc.fixed_fields8),
-        jnp.concatenate([jax.lax.stop_gradient(means3d), vals5], axis=1),
-    ], axis=0)
-    slots = slots8_gather(f8, gc.tab, gc.inv_pos)
-    return _splat(slots, gc.quat, gc.trans, gc.counts, cam, chunk)
+    backward covers only the trainable tail (the compact inverse maps those
+    rows), so gradients stay scatter-free and flow to the trainable section
+    only."""
+    cat = jnp.concatenate(
+        [jax.lax.stop_gradient(gc.fixed_fields8), fields8], axis=0)
+    accum = splat_binned(cat, gc.tab, gc.inv.main, gc.inv.ov_pos,
+                         gc.inv.ov_slot, gc.quat, gc.trans, gc.counts,
+                         cam, max(chunk, 128),
+                         jax.default_backend() == "cpu")
+    return _accum_to_result(accum, cam)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -249,9 +311,17 @@ class MapCacheStore:
 
     def _build(self, params, active, ring_idx, cam, span_cap, mpt):
         quat, trans = self.poses[ring_idx]
-        return build_kf_cache(params, active, jnp.asarray(quat),
-                              jnp.asarray(trans), cam, span_cap=span_cap,
-                              max_pairs_per_tile=mpt)
+        built = build_kf_cache(params, active, jnp.asarray(quat),
+                               jnp.asarray(trans), cam, span_cap=span_cap,
+                               max_pairs_per_tile=mpt)
+        n_ov = int(built.inv.n_ov)
+        mcap = built.inv.ov_pos.shape[0]
+        if n_ov > mcap and not getattr(self, "_ov_warned", False):
+            print(f"WARNING: compact-inverse overflow {n_ov} > {mcap}: "
+                  "gradient contributions of some 3rd+ tile slots are "
+                  "dropped this phase (raise binning.compact_inverse mcap)")
+            self._ov_warned = True
+        return built
 
     def _write(self, slot, kfc_one):
         self.stack = jax.tree.map(
@@ -320,7 +390,11 @@ def dummy_global_cache(params: GaussianParams) -> GlobalBinCache:
     return GlobalBinCache(
         tab=jnp.zeros((BLOCK, 128), jnp.int32),
         counts=jnp.zeros((BLOCK,), jnp.int32),
-        inv_pos=jnp.full((params.means3d.shape[0], 1), -1, jnp.int32),
+        inv=CompactInv(
+            main=jnp.full((params.means3d.shape[0], 2), -1, jnp.int32),
+            ov_pos=jnp.full((128, 1), -1, jnp.int32),
+            ov_slot=jnp.full((params.means3d.shape[0],), 128, jnp.int32),
+            n_ov=jnp.zeros((), jnp.int32)),
         quat=jnp.asarray([1.0, 0.0, 0.0, 0.0], f32),
         trans=jnp.zeros((3,), f32),
         fixed_fields8=jnp.zeros((1, 8), f32),

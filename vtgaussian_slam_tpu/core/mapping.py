@@ -172,35 +172,39 @@ def map_frame_binned(
     (/root/reference/src/vtgaussian_slam.py:2560-2571); otherwise it is
     uniform over the pinned base frame + the most recent window."""
     from .losses import loss_from_render
-    from .map_cache import (pack_vals5, render_binned, render_binned_global,
-                            unpack_vals5)
+    from .map_cache import (pack_fields8, render_binned, render_binned_global,
+                            unpack_fields8)
 
     lr_dict = dict(cfg.lrs)
-    lrs5 = jnp.asarray(
-        [lr_dict.get("logit_opacities", 0.0),
+    # full (N, 8) field-table state: means columns carry lr 0 AND receive
+    # exactly-zero gradients from the kernel's "vals" backward, so Adam is a
+    # no-op on them (torch zero-lr parity) — and no per-iteration concat or
+    # column slice touches the (N, .) buffers
+    lrs8 = jnp.asarray(
+        [0.0, 0.0, 0.0,
+         lr_dict.get("logit_opacities", 0.0),
          lr_dict.get("log_scales", 0.0)]
         + [lr_dict.get("rgb_colors", 0.0)] * 3,
-        params.means3d.dtype)[None, :]                       # (1, 5)
+        params.means3d.dtype)[None, :]                       # (1, 8)
 
-    vals5 = pack_vals5(params)                               # (N, 5)
-    means3d = jax.lax.stop_gradient(params.means3d)
-    opt_state = adam_init(vals5)
+    f8 = pack_fields8(params)                                # (N, 8)
+    opt_state = adam_init(f8)
     bk = dict(cfg.loss_cfg.backend_kwargs)
     chunk = max(bk.get("chunk", 128), 128)
 
-    def loss_fn(v5, slot):
+    def loss_fn(v8, slot):
         ring = slot_ids[slot]
         frame = Frame(color=kf.colors[ring], depth=kf.depths[ring])
         k = jax.tree.map(lambda x: x[slot], kfc)
-        r = render_binned(v5, means3d, k, cam, chunk)
+        r = render_binned(v8, k, cam, chunk)
         loss = loss_from_render(r, frame, cfg.loss_cfg,
-                                jnp.asarray(0.5, v5.dtype),
+                                jnp.asarray(0.5, v8.dtype),
                                 jnp.asarray(False)).loss
         if cfg.use_global:
             def add_global(l):
-                rg = render_binned_global(v5, means3d, gc, cam, chunk)
+                rg = render_binned_global(v8, gc, cam, chunk)
                 return l + loss_from_render(
-                    rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v5.dtype),
+                    rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v8.dtype),
                     jnp.asarray(False)).loss
 
             # global term applies when the sampled keyframe is a base frame
@@ -213,14 +217,14 @@ def map_frame_binned(
     vg_fn = jax.value_and_grad(loss_fn)
 
     def body(i, carry):
-        v5, opt, hist = carry
+        v8, opt, hist = carry
         k = jax.random.fold_in(rng, i)
         idx = jax.random.randint(k, (), 0, kf.count)
-        loss, grads = vg_fn(v5, idx)
-        v5, opt = adam_step(v5, grads, opt, lrs5, eps=1e-15)
-        return (v5, opt, hist.at[i].set(loss))
+        loss, grads = vg_fn(v8, idx)
+        v8, opt = adam_step(v8, grads, opt, lrs8, eps=1e-15)
+        return (v8, opt, hist.at[i].set(loss))
 
-    hist0 = jnp.zeros((cfg.num_iters,), vals5.dtype)
-    vals5, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
-                                       (vals5, opt_state, hist0))
-    return unpack_vals5(params, vals5), hist
+    hist0 = jnp.zeros((cfg.num_iters,), f8.dtype)
+    f8, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
+                                    (f8, opt_state, hist0))
+    return unpack_fields8(params, f8), hist

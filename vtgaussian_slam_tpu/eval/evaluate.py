@@ -131,6 +131,12 @@ def eval_sequence(
         if mapping_iters == 0 and not add_new_gaussians:
             diff = diff * presence
         vsum = max(valid.sum(), 1)
+        # NOTE reference parity quirk: the reference computes "Depth RMSE"
+        # as torch.sqrt((diff)**2) ELEMENTWISE then means it
+        # (/root/reference/utils/eval_helpers.py:464-479) — i.e. its RMSE
+        # column is mathematically identical to its L1 column. Kept
+        # bit-for-intent; do not "fix" to a true RMSE without breaking
+        # comparability with reference-reported numbers.
         rmse_list.append(float((np.sqrt(diff**2) * valid).sum() / vsum))
         l1_list.append(float((np.abs(diff) * valid).sum() / vsum))
 

@@ -65,17 +65,20 @@ TPX = TILE * TILE
 NCH = 8         # output channels (6 live + 2 pad)
 BLOCK = 8       # tiles per grid step (callers pad n_tiles to a multiple)
 
-# MXU precision for the in-kernel matmuls (transmittance cumsum, blend
-# accumulation, backward contractions). DEFAULT = one bf16 pass with f32
-# accumulation: measured 13.9 -> 9.7 ms fwd at the Replica working set, with
-# ~0.4% relative render error — the magnitude of the 8-bit sensor
-# quantization (1/255) the input images carry anyway. Eval/metric rendering
-# uses the gen-1 pallas_blend kernel (f32 chain) and is unaffected. Set
-# VTGS_SPLAT_PRECISION=highest to force exact f32 matmuls in the SLAM loops.
+# MXU precision for the in-kernel matmuls. One-pass-bf16 dots (with f32
+# accumulation) are ~30% faster end-to-end than exact f32 at the Replica
+# room0 working set (fwd 13.9 -> 9.7 ms). Naive bf16 costs real quality
+# (~1.5 dB PSNR, ~3 cm depth L1 on the smoke scene) because the z channel
+# carries ~3 m absolute depths whose 0.4% rounding is centimeters — the
+# per-chunk depth CENTERING in _splat_weights removes exactly that operand
+# magnitude, after which bf16 matches f32 quality (smoke: PSNR 41.1 vs
+# 41.3, depth L1 4.0 vs 3.7 cm, ATE equal). Default: bf16 everywhere;
+# VTGS_SPLAT_PRECISION=highest forces exact f32.
 import os as _os
-MATMUL_PRECISION = (jax.lax.Precision.HIGHEST
-                    if _os.environ.get("VTGS_SPLAT_PRECISION", "").lower()
-                    == "highest" else jax.lax.Precision.DEFAULT)
+_PREC_MODE = _os.environ.get("VTGS_SPLAT_PRECISION", "").lower()
+FWD_PRECISION = (jax.lax.Precision.HIGHEST if _PREC_MODE == "highest"
+                 else jax.lax.Precision.DEFAULT)
+BWD_PRECISION = FWD_PRECISION
 
 
 def pad_tiles(n_tiles: int) -> int:
@@ -152,7 +155,8 @@ def _tri_excl(chunk, dtype):
     return (ri < ci).astype(dtype)
 
 
-def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri):
+def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri,
+                   precision):
     """Shared fwd-walk step: alpha, transmittance chain, blend weights.
 
     The exclusive transmittance product runs in log space with the lane
@@ -173,20 +177,29 @@ def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri):
 
     lg = jnp.log1p(-alpha)
     S_excl = jax.lax.dot_general(lg, tri, (((1,), (0,)), ((), ())),
-                                 precision=MATMUL_PRECISION,
+                                 precision=precision,
                                  preferred_element_type=lg.dtype)
     T_in = T * jnp.exp(S_excl)
     T_after = T_in * (1.0 - alpha)
     include = T_after >= T_TERMINATE
     weight = jnp.where(include, alpha * T_in, 0.0)
 
+    # depth channels are CENTERED per chunk: the MXU contractions round
+    # operands to bf16 in fast/backward precision modes, and 0.4% of a ~3 m
+    # absolute depth is 1.2 cm of metric error — centering shrinks the
+    # operand magnitude to the chunk's depth spread (error ~mm). The exact
+    # identities accum_z = d_c + z0*sil and accum_z2 = d_c2 + 2 z0 d_c +
+    # z0^2 sil are restored in f32 epilogues (fwd) / cotangent pre-rotation
+    # (bwd), so the math is unchanged at f32 precision.
     z = p["z"]
+    z0 = p["zs"][0, 0]
+    c = z - z0
     cols = jnp.concatenate(
-        [rec_rgb, z, jnp.ones_like(z), z * z,
+        [rec_rgb, c, jnp.ones_like(z), c * c,
          jnp.zeros((2, chunk), z.dtype)], axis=0)       # (NCH, chunk)
     return dict(dx=dx, dy=dy, power=power, expp=expp, clamped=clamped,
                 alpha=alpha, keep=keep, T_after=T_after, T_in=T_in,
-                include=include, weight=weight, cols=cols)
+                include=include, weight=weight, cols=cols, z0=z0, zc=c)
 
 
 def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
@@ -214,12 +227,18 @@ def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
             rec = slots_ref[b, :, pl.ds(j0, chunk)]
             p = _project_chunk(rec, cp_ref)
             w = _splat_weights(p, rec[5:8, :], px, py, lane, j0, count, T,
-                               chunk, tri)
+                               chunk, tri, FWD_PRECISION)
             # accum (NCH, TPX): channels on sublanes, pixels on lanes
-            accum = accum + jax.lax.dot_general(
+            d = jax.lax.dot_general(
                 w["cols"], w["weight"], (((1,), (1,)), ((), ())),
-                precision=MATMUL_PRECISION,
+                precision=FWD_PRECISION,
                 preferred_element_type=accum.dtype)
+            # de-center the depth channels (see _splat_weights)
+            z0 = w["z0"]
+            d3 = d[3:4] + z0 * d[4:5]
+            d5 = d[5:6] + 2.0 * z0 * d[3:4] + z0 * z0 * d[4:5]
+            accum = accum + jnp.concatenate(
+                [d[0:3], d3, d[4:5], d5, d[6:8]], axis=0)
             T_last = w["T_after"][:, chunk - 1:chunk]
             T_new = jnp.where(T_last < T_TERMINATE, 0.0, T_last)
             return c + 1, T_new, accum
@@ -234,10 +253,16 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
                 grad_ref, *, chunk: int, mpt: int, block: int,
                 mode: str):
     """Backward walk. mode selects which chains run and what is emitted:
-    "vals" -> grad_ref (block, 8, mpt) rows [0,0,0, d lo, d ls, d rgb]
-    "all"  -> grad_ref (block, 8, mpt) rows [d mean_cam, d lo, d ls, d rgb]
-    "pose" -> grad_ref (1, 128) partial row [dR(9), dt(3), 0...] summed over
-              the block's tiles
+    "vals"      -> grad_ref (block, 8, mpt) rows [0,0,0, d lo, d ls, d rgb]
+    "vals_rows" -> grad_ref (block, mpt, 8) cols [0,0,0, d lo, d ls, d rgb]
+                   — ROW-major per slot, so the flat (P, 8) view reads one
+                   sector per slot in the inverse-map gathers (the (8, mpt)
+                   layout strides a slot's channels 4*mpt bytes apart: 8
+                   HBM transactions per gathered row, measured 2.5x slower)
+    "all"       -> grad_ref (block, 8, mpt) rows [d mean_cam, d lo, d ls,
+                   d rgb]
+    "pose"      -> grad_ref (1, 8, 128) partial row [dR(9), dt(3), 0...]
+                   summed over the block's tiles
     """
     blk = pl.program_id(0)
     tiles_x = meta_ref[0]
@@ -274,7 +299,9 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
         tox = ((t % tiles_x) * TILE).astype(f32)
         toy = ((t // tiles_x) * TILE).astype(f32)
 
-        if mode != "pose":
+        if mode == "vals_rows":
+            grad_ref[b] = jnp.zeros((mpt, 8), f32)
+        elif mode != "pose":
             grad_ref[b] = jnp.zeros((8, mpt), f32)
 
         out_total = out_ref[b]                         # (NCH, TPX)
@@ -292,19 +319,26 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
             rec = slots_ref[b, :, pl.ds(j0, chunk)]
             p = _project_chunk(rec, cp_ref)
             w = _splat_weights(p, rec[5:8, :], px, py, lane, j0, count, T,
-                               chunk, tri)
+                               chunk, tri, BWD_PRECISION)
             ca, cb, cc = p["ca"], p["cb"], p["cc"]
-            z = p["z"]
 
-            # Gc[p, k] = sum_ch g[ch, p] cols[ch, k]
-            Gc = jax.lax.dot_general(g, w["cols"], (((0,), (0,)), ((), ())),
-                                     precision=MATMUL_PRECISION,
+            # cotangent rows pre-rotated for the CENTERED depth channels
+            # (exact identity: g_eff . cols_centered == g . cols_true)
+            z0 = w["z0"]
+            g_eff = jnp.concatenate(
+                [g[0:3], g[3:4] + 2.0 * z0 * g[5:6],
+                 g[4:5] + z0 * g[3:4] + z0 * z0 * g[5:6], g[5:8]], axis=0)
+
+            # Gc[p, k] = sum_ch g_eff[ch, p] cols[ch, k]
+            Gc = jax.lax.dot_general(g_eff, w["cols"],
+                                     (((0,), (0,)), ((), ())),
+                                     precision=BWD_PRECISION,
                                      preferred_element_type=f32)  # (TPX, chunk)
             wGc = w["weight"] * Gc
             # inclusive lane cumsum as one MXU matmul (see _splat_weights)
             Hk = Hpref + jax.lax.dot_general(
                 wGc, tri_incl, (((1,), (0,)), ((), ())),
-                precision=MATMUL_PRECISION,
+                precision=BWD_PRECISION,
                 preferred_element_type=f32)
             inv_om = 1.0 / jnp.maximum(1.0 - w["alpha"], 1e-6)
             g_alpha = jnp.where(
@@ -317,7 +351,7 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
             #      sum g, 0, 0] per slot; the dx/dy-weighted reductions of
             # the quadratic-form chain are then cheap (1, chunk) row math
             M = jax.lax.dot_general(phi, g_power, (((0,), (0,)), ((), ())),
-                                    precision=MATMUL_PRECISION,
+                                    precision=BWD_PRECISION,
                                     preferred_element_type=f32)  # (8, chunk)
             mxl = p["m2x"] - tox                 # slot mean in local coords
             myl = p["m2y"] - toy
@@ -330,10 +364,11 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
             g_ca = -0.5 * s_dxx
             g_cb = -s_dxy
             g_cc = -0.5 * s_dyy
-            # color-channel grads: (NCH, chunk) = g @ weight
+            # color-channel grads: (NCH, chunk) = g_eff @ weight
+            # (rows 3/5 are then d/d centered-z and d/d centered-z^2)
             g_cols = jax.lax.dot_general(
-                g, w["weight"], (((1,), (0,)), ((), ())),
-                precision=MATMUL_PRECISION,
+                g_eff, w["weight"], (((1,), (0,)), ((), ())),
+                precision=BWD_PRECISION,
                 preferred_element_type=f32)
 
             ok = p["ok"]
@@ -362,10 +397,10 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
                         + g_v11 * p["cy_"])
                 g_ls = 2.0 * p["s2"] * g_s2 * okf
 
-            if mode != "vals":
+            if mode not in ("vals", "vals_rows"):
                 g_m2x = (ca * s_dx + cb * s_dy) * okf
                 g_m2y = cc * s_dy + cb * s_dx
-                g_z_cols = g_cols[3:4, :] + 2.0 * z * g_cols[5:6, :]
+                g_z_cols = g_cols[3:4, :] + 2.0 * w["zc"] * g_cols[5:6, :]
 
                 s2v = p["s2"]
                 j00, j02, j11, j12 = p["j00"], p["j02"], p["j11"], p["j12"]
@@ -401,6 +436,10 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
                 gk = jnp.concatenate(
                     [jnp.zeros((3, chunk), f32), g_lo, g_ls, g_rgb], axis=0)
                 grad_ref[b, :, pl.ds(j0, chunk)] = gk
+            elif mode == "vals_rows":
+                gk = jnp.concatenate(
+                    [jnp.zeros((3, chunk), f32), g_lo, g_ls, g_rgb], axis=0)
+                grad_ref[b, pl.ds(j0, chunk), :] = gk.T
             elif mode == "all":
                 gk = jnp.concatenate([g_x, g_y, g_z, g_lo, g_ls, g_rgb],
                                      axis=0)
@@ -410,11 +449,11 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
                 mw = rec[0:3, :]
                 rows = [jax.lax.dot_general(
                     g_cam[i:i + 1, :], mw, (((1,), (1,)), ((), ())),
-                    precision=MATMUL_PRECISION,
+                    precision=BWD_PRECISION,
                     preferred_element_type=f32) for i in range(3)]
                 gt_row = jax.lax.dot_general(
                     ones_row, g_cam, (((1,), (1,)), ((), ())),
-                    precision=MATMUL_PRECISION,
+                    precision=BWD_PRECISION,
                     preferred_element_type=f32)                   # (1, 3)
                 red_acc = red_acc + jnp.concatenate(rows + [gt_row], axis=1)
 
@@ -507,6 +546,10 @@ def _bwd_call(slots8, R, trans, counts, tile_offset, out, g, cam,
         out_shape = jax.ShapeDtypeStruct((n_tiles // BLOCK, 8, 128),
                                          slots8.dtype)
         out_spec = pl.BlockSpec((1, 8, 128), lambda t, c_, m_, cp_: (t, 0, 0))
+    elif mode == "vals_rows":
+        out_shape = jax.ShapeDtypeStruct((n_tiles, mpt, 8), slots8.dtype)
+        out_spec = pl.BlockSpec((BLOCK, mpt, 8),
+                                lambda t, c_, m_, cp_: (t, 0, 0))
     else:
         out_shape = jax.ShapeDtypeStruct((n_tiles, 8, mpt), slots8.dtype)
         out_spec = pl.BlockSpec((BLOCK, 8, mpt),

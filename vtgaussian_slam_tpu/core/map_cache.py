@@ -84,7 +84,8 @@ def unpack_fields8(params: GaussianParams, f8: jnp.ndarray) -> GaussianParams:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile"))
+    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
+                              "tile_pad"))
 def build_kf_cache(
     params: GaussianParams,
     active: jnp.ndarray,
@@ -95,6 +96,7 @@ def build_kf_cache(
     tile: int = 16,
     span_cap: int = 2,
     max_pairs_per_tile: int = 512,
+    tile_pad: int = 0,
 ) -> KFBinCache:
     from ..ops import geometry as geo
 
@@ -110,14 +112,15 @@ def build_kf_cache(
                              cam, active)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
-    tab, counts = pad_bin_tables(b.tab, b.counts)
+    tab, counts = pad_bin_tables(b.tab, b.counts, tile_pad)
     inv = compact_inverse(b.inv_pos)
     return KFBinCache(tab=tab, counts=counts, inv=inv,
                       quat=cam_quat, trans=cam_trans)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile"))
+    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
+                              "tile_pad"))
 def build_global_cache(
     fixed_params: GaussianParams,
     fixed_active: jnp.ndarray,
@@ -130,6 +133,7 @@ def build_global_cache(
     tile: int = 16,
     span_cap: int = 2,
     max_pairs_per_tile: int = 512,
+    tile_pad: int = 0,
 ) -> GlobalBinCache:
     from ..ops import geometry as geo
 
@@ -153,7 +157,7 @@ def build_global_cache(
                              jax.nn.sigmoid(logit_op[:, 0]), cam, act)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
-    tab, counts = pad_bin_tables(b.tab, b.counts)
+    tab, counts = pad_bin_tables(b.tab, b.counts, tile_pad)
     inv = compact_inverse(b.inv_pos[n_fixed:])
     from .track_cache import fields8
     return GlobalBinCache(tab=tab, counts=counts, inv=inv,
@@ -293,9 +297,11 @@ class MapCacheStore:
     deviation; never triggered by replica/tum/scannet budgets).
     """
 
-    def __init__(self, max_slots: int = 64, refresh: int = 1):
+    def __init__(self, max_slots: int = 64, refresh: int = 1,
+                 tile_pad: int = 0):
         self.max_slots = max_slots
         self.refresh = refresh
+        self.tile_pad = tile_pad
         self.reset()
 
     def reset(self):
@@ -313,7 +319,8 @@ class MapCacheStore:
         quat, trans = self.poses[ring_idx]
         built = build_kf_cache(params, active, jnp.asarray(quat),
                                jnp.asarray(trans), cam, span_cap=span_cap,
-                               max_pairs_per_tile=mpt)
+                               max_pairs_per_tile=mpt,
+                               tile_pad=self.tile_pad)
         n_ov = int(built.inv.n_ov)
         mcap = built.inv.ov_pos.shape[0]
         if n_ov > mcap and not getattr(self, "_ov_warned", False):

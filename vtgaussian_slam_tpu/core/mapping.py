@@ -145,35 +145,15 @@ def map_frame(
     return params, hist
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def map_frame_binned(
-    params: GaussianParams,
-    kf: KeyframeBuffer,     # full keyframe ring; kf.count = # cached slots
-    kfc,                    # KFBinCache stacked along a leading W axis
-    slot_ids: jnp.ndarray,  # (W,) int32 cache slot -> ring index
-    gc,                     # GlobalBinCache (dummy-sized when !use_global)
-    rng: jnp.ndarray,
-    cam: Camera,
-    cfg: MappingConfig,
-) -> tuple[GaussianParams, jnp.ndarray]:
-    """`map_frame` over per-keyframe frozen binning (core/map_cache.py).
-
-    Requires isotropic gaussians and zero mapping lrs for means3D and
-    unnorm_rotations (true of every reference config — the pipeline verifies
-    and falls back to `map_frame` otherwise). Only the (5, N) channel-major
-    trainable pack [logit_opacity, log_scale, rgb] flows through Adam;
-    binning, depth order and slot means are frozen per keyframe, and the
-    gather backward is the scatter-free inverse-map gather.
-
-    The per-iteration keyframe draw picks a CACHED slot uniformly; when the
-    cache store holds every section keyframe (bfe <= its memory budget, true
-    for all replica/tum/scannet configs) this is exactly the reference's
-    uniform draw over selected keyframes
-    (/root/reference/src/vtgaussian_slam.py:2560-2571); otherwise it is
-    uniform over the pinned base frame + the most recent window."""
+def map_binned_loop(render_local, render_global, params, kf, kfc,
+                    slot_ids, rng, cam: Camera, cfg: MappingConfig):
+    """The fused mapping optimization loop over arbitrary binned renderers
+    `render_local(f8, kfc_slot) -> RenderResult` and
+    `render_global(f8) -> RenderResult`. Shared by the single-chip path
+    (map_frame_binned) and the tile-sharded multi-chip path
+    (parallel/engine.py)."""
     from .losses import loss_from_render
-    from .map_cache import (pack_fields8, render_binned, render_binned_global,
-                            unpack_fields8)
+    from .map_cache import pack_fields8, unpack_fields8
 
     lr_dict = dict(cfg.lrs)
     # full (N, 8) field-table state: means columns carry lr 0 AND receive
@@ -189,20 +169,18 @@ def map_frame_binned(
 
     f8 = pack_fields8(params)                                # (N, 8)
     opt_state = adam_init(f8)
-    bk = dict(cfg.loss_cfg.backend_kwargs)
-    chunk = max(bk.get("chunk", 128), 128)
 
     def loss_fn(v8, slot):
         ring = slot_ids[slot]
         frame = Frame(color=kf.colors[ring], depth=kf.depths[ring])
         k = jax.tree.map(lambda x: x[slot], kfc)
-        r = render_binned(v8, k, cam, chunk)
+        r = render_local(v8, k)
         loss = loss_from_render(r, frame, cfg.loss_cfg,
                                 jnp.asarray(0.5, v8.dtype),
                                 jnp.asarray(False)).loss
         if cfg.use_global:
             def add_global(l):
-                rg = render_binned_global(v8, gc, cam, chunk)
+                rg = render_global(v8)
                 return l + loss_from_render(
                     rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v8.dtype),
                     jnp.asarray(False)).loss
@@ -228,3 +206,46 @@ def map_frame_binned(
     f8, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
                                     (f8, opt_state, hist0))
     return unpack_fields8(params, f8), hist
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def map_frame_binned(
+    params: GaussianParams,
+    kf: KeyframeBuffer,     # full keyframe ring; kf.count = # cached slots
+    kfc,                    # KFBinCache stacked along a leading W axis
+    slot_ids: jnp.ndarray,  # (W,) int32 cache slot -> ring index
+    gc,                     # GlobalBinCache (dummy-sized when !use_global)
+    rng: jnp.ndarray,
+    cam: Camera,
+    cfg: MappingConfig,
+) -> tuple[GaussianParams, jnp.ndarray]:
+    """`map_frame` over per-keyframe frozen binning (core/map_cache.py).
+
+    Requires isotropic gaussians and zero mapping lrs for means3D and
+    unnorm_rotations (true of every reference config — the pipeline verifies
+    and falls back to `map_frame` otherwise). The (N, 8) field table flows
+    through Adam; binning, depth order and slot means are frozen per
+    keyframe, and the gather backward is the scatter-free compact-inverse
+    gather (map_cache.splat_binned).
+
+    The per-iteration keyframe draw picks a CACHED slot uniformly; when the
+    cache store holds every section keyframe (bfe <= its memory budget, true
+    for all replica/tum/scannet configs) this is exactly the reference's
+    uniform draw over selected keyframes
+    (/root/reference/src/vtgaussian_slam.py:2560-2571); otherwise it is
+    uniform over the pinned base frame + the most recent window."""
+    from .map_cache import render_binned, render_binned_global
+
+    # larger walk chunks amortize per-chunk loop/issue overhead (see
+    # track_frame_cached)
+    mpt = kfc.tab.shape[-1]
+    chunk = 256 if mpt % 256 == 0 else 128
+
+    def render_local(v8, k):
+        return render_binned(v8, k, cam, chunk)
+
+    def render_global(v8):
+        return render_binned_global(v8, gc, cam, chunk)
+
+    return map_binned_loop(render_local, render_global, params, kf, kfc,
+                           slot_ids, rng, cam, cfg)

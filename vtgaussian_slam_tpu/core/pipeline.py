@@ -265,6 +265,9 @@ class VTGaussianSLAM:
         self.earliest_corr: list[list] = []     # earliest_baseframe_corr_list
         self.mapping_corr: list[list] = []      # baseframe_corr_list (mapping)
         self.fixed_section_ids: tuple[int, int] | None = None
+        # host<->HBM section paging (reference offloads params_ls per frame,
+        # :2832-2843); see _page_cold_sections
+        self.section_paging = bool(cfg["tpu"].get("section_paging", True))
         self.depth_means: list[float] = []      # far-depth-filter statistics
         self.num_gs_per_frame_ls: list[int] = []
 
@@ -272,11 +275,38 @@ class VTGaussianSLAM:
         self.ring_colors = jnp.zeros((self.bfe, 3, H, W), jnp.float32)
         self.ring_depths = jnp.zeros((self.bfe, 1, H, W), jnp.float32)
 
+        # multi-chip: shard the fused loops' rasterization over image tiles
+        # when tpu.mesh_devices > 1 (parallel/engine.py); the single-chip
+        # fns are the defaults. Cache builders pad tile tables so every
+        # device holds whole kernel blocks.
+        self.mesh = None
+        self.tile_pad = 0
+        self._track_cached_fn = track_frame_cached
+        self._map_binned_fn = None   # resolved lazily (map_frame_binned)
+        md = int(cfg["tpu"].get("mesh_devices", 1) or 1)
+        if md > 1:
+            if len(jax.devices()) < md:
+                print(f"WARNING: tpu.mesh_devices={md} but only "
+                      f"{len(jax.devices())} devices visible; running "
+                      "single-device")
+            else:
+                from ..parallel.engine import (
+                    make_map_frame_binned_sharded,
+                    make_track_frame_cached_sharded, make_mesh,
+                    tile_pad_for)
+                self.mesh = make_mesh(md)
+                self.tile_pad = tile_pad_for(self.mesh)
+                self._track_cached_fn = make_track_frame_cached_sharded(
+                    self.mesh)
+                self._map_binned_fn = make_map_frame_binned_sharded(
+                    self.mesh)
+
         # frozen-binning mapping caches for the current section
         from .map_cache import MapCacheStore
         self.map_store = MapCacheStore(
             max_slots=int(cfg["tpu"].get("map_cache_slots", 64)),
-            refresh=int(cfg["tpu"].get("map_cache_refresh", 1)))
+            refresh=int(cfg["tpu"].get("map_cache_refresh", 1)),
+            tile_pad=self.tile_pad)
 
         # scannetpp odometry-assisted initialization (:1364-1510)
         self.odometer = None
@@ -489,13 +519,13 @@ class VTGaussianSLAM:
                 sec.params, sec.active_mask(), state.quat, state.trans,
                 self.cam, span_cap=bk.get("span_cap", 3),
                 max_pairs_per_tile=mpt,
-                chunk=bk.get("chunk", 128))
+                chunk=bk.get("chunk", 128), tile_pad=self.tile_pad)
             n_tiles = (-(-self.cam.height // 16)) * (-(-self.cam.width // 16))
             trunc = float((np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
             self.stats["tile_truncation_frac_max"] = max(
                 self.stats["tile_truncation_frac_max"], trunc)
             t_jit = time.time()
-            state, im_h, d_h = track_frame_cached(
+            state, im_h, d_h = self._track_cached_fn(
                 cache, state, frame, aux_mask, p2p_t, self.cam, tcfg)
             state.best_quat.block_until_ready()
             self.stats["tracking_jit_time_sum"] += time.time() - t_jit
@@ -606,7 +636,7 @@ class VTGaussianSLAM:
         odometer_rel = None
         if self.dataset_name == "scannetpp" and self.odometer is not None:
             from .tracking import probe_loss
-            probe_sec = self.sections[bf_idx - 1 if boundary else bf_idx]
+            probe_sec = self._sec(bf_idx - 1 if boundary else bf_idx)
             im_l, d_l = probe_loss(
                 probe_sec.params, probe_sec.active_mask(), q0, tr0, frame,
                 self.cam, self._loss_cfg(True), sil_thres,
@@ -660,7 +690,7 @@ class VTGaussianSLAM:
                 loss_cfg=self._loss_cfg(True, use_far=use_far))
             states = []
             for sec_id in cand_secs:
-                sec = self.sections[sec_id]
+                sec = self._sec(sec_id)
                 st = init_track_state(q0, tr0, sil_thres)
                 st = self._run_track(sec, st, frame, far_mask, dummy_p2p,
                                      phase1)
@@ -681,7 +711,7 @@ class VTGaussianSLAM:
                 lr_trans=tr["lrs"]["cam_trans"], metric="p2p",
                 p2p_method=tr["p2p_method"],
                 loss_cfg=self._loss_cfg(True, use_vis=True, use_far=use_far))
-            sec = self.sections[sec_id]
+            sec = self._sec(sec_id)
             state = state.replace(min_metric=jnp.asarray(1e20, jnp.float32))
             if phase2.num_iters > 0:
                 state = self._run_track(sec, state, frame, aux, p2p_t, phase2)
@@ -698,7 +728,7 @@ class VTGaussianSLAM:
                 p2p_method=tr["p2p_method"],
                 loss_cfg=self._loss_cfg(True, use_far=use_far))
             sec_id = cand_secs[0]
-            sec = self.sections[sec_id]
+            sec = self._sec(sec_id)
             state = init_track_state(q0, tr0, sil_thres)
             state = self._run_track(sec, state, frame, far_mask, p2p_t, tcfg)
 
@@ -763,7 +793,7 @@ class VTGaussianSLAM:
     def _densify(self, t, frame, edge_mask_np):
         """Insert new Gaussians into the current section (:2346-2390)."""
         bf_idx = t // self.bfe
-        sec = self.sections[bf_idx]
+        sec = self._sec(bf_idx)
         quat, trans = _traj_read(self.traj.quats, self.traj.trans, t)
         cand = densify_candidates_base(
             sec.params, sec.active_mask(), quat, trans, frame, self.cam,
@@ -842,11 +872,11 @@ class VTGaussianSLAM:
                 [overlap_sec * self.bfe, (bf_idx - 1) * self.bfe, t])
 
         use_global = bf_idx != 0 and self.fixed_section_ids is not None
-        sec = self.sections[bf_idx]
+        sec = self._sec(bf_idx)
 
         if use_global:
             fixed, _ = G.concat_sections(
-                [self.sections[i] for i in self.fixed_section_ids],
+                [self._sec(i) for i in self.fixed_section_ids],
                 quantum=self.quantum)
             fixed_params, fixed_active = fixed.params, fixed.active_mask()
         else:
@@ -902,11 +932,13 @@ class VTGaussianSLAM:
                 bq, bt = _traj_read(self.traj.quats, self.traj.trans, start)
                 gcache = build_global_cache(
                     fixed_params, fixed_active, sec.params, active, bq, bt,
-                    self.cam, span_cap=span_cap, max_pairs_per_tile=mpt)
+                    self.cam, span_cap=span_cap, max_pairs_per_tile=mpt,
+                    tile_pad=self.tile_pad)
             else:
                 gcache = dummy_global_cache(sec.params)
+            map_fn = self._map_binned_fn or map_frame_binned
             t_jit = time.time()
-            new_params, map_hist = map_frame_binned(
+            new_params, map_hist = map_fn(
                 sec.params, kf, stack, slot_ids, gcache, k, self.cam, mcfg)
             new_params.means3d.block_until_ready()
             self.stats["mapping_jit_time_sum"] += time.time() - t_jit
@@ -1016,8 +1048,8 @@ class VTGaussianSLAM:
             from ..utils.observability import (frame_quality, report_progress,
                                                save_progress_panel)
             try:
-                sec = self.sections[min(t // self.bfe,
-                                        len(self.sections) - 1)]
+                sec = self._sec(min(t // self.bfe,
+                                    len(self.sections) - 1))
                 cq, ct = _traj_read(self.traj.quats, self.traj.trans, t)
                 r = render_slam(sec.params, sec.active_mask(), cq, ct,
                                 self.cam, dict(self.backend_kwargs))
@@ -1050,6 +1082,10 @@ class VTGaussianSLAM:
             if is_base:
                 bq, bt = _traj_read(self.traj.quats, self.traj.trans, t)
                 self.baseframes.append(t, frame.depth[0], bq, bt)
+
+        # offload sections outside the hot set to host memory (:2832-2843)
+        hot = {bf_idx} | set(self.fixed_section_ids or ())
+        self._page_cold_sections(hot)
 
     def run(self, progress=True):
         cfg = self.config
@@ -1095,6 +1131,46 @@ class VTGaussianSLAM:
                                self.traj.trans[0])
         if self.config["mapping"]["num_iters"] > 0:
             self._map(0, self._frame0)
+
+    # ------------------------------------------------------------------
+    # Section HBM<->host paging: the reference keeps only the active
+    # sections on GPU and offloads `params_ls` to CPU every frame
+    # (/root/reference/src/vtgaussian_slam.py:2832-2843). Here sections that
+    # are neither current, frozen-global, nor tracking candidates move to
+    # host memory (async device->host copy started eagerly, finalized
+    # lazily) so device memory stays bounded by the HOT set, not the
+    # trajectory length — full-length ScanNet holds ~170 sections of which
+    # at most ~6 are ever hot at once.
+    def _sec(self, i: int):
+        """Device-resident section i, paging it back in if offloaded."""
+        s = self.sections[i]
+        if isinstance(s.params.means3d, np.ndarray):
+            s = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                s)
+            self.sections[i] = s
+            self.stats["section_page_ins"] = \
+                self.stats.get("section_page_ins", 0) + 1
+        return s
+
+    def _page_cold_sections(self, hot):
+        if not self.section_paging:
+            return
+        cold = [i for i, s in enumerate(self.sections)
+                if i not in hot and not isinstance(s.params.means3d,
+                                                   np.ndarray)]
+        # start every device->host copy before the first blocking np.asarray
+        # so the transfers overlap each other (and any still-queued compute)
+        for i in cold:
+            for leaf in jax.tree_util.tree_leaves(self.sections[i]):
+                if isinstance(leaf, jax.Array):
+                    leaf.copy_to_host_async()
+        for i in cold:
+            self.sections[i] = jax.tree_util.tree_map(
+                lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                self.sections[i])
+            self.stats["section_page_outs"] = \
+                self.stats.get("section_page_outs", 0) + 1
 
     # ------------------------------------------------------------------
     def export_params_ls(self) -> list[dict]:

@@ -51,11 +51,15 @@ class TrackCache(NamedTuple):
     radii: jnp.ndarray    # (N,) per-Gaussian radii at the cache pose
 
 
-def pad_bin_tables(tab: jnp.ndarray, counts: jnp.ndarray):
-    """Pad (T, mpt) binning tables to the splat kernel's BLOCK multiple.
-    Padded tiles carry count 0 and index-0 slots (never rendered)."""
+def pad_bin_tables(tab: jnp.ndarray, counts: jnp.ndarray,
+                   tile_pad: int = 0):
+    """Pad (T, mpt) binning tables to the splat kernel's BLOCK multiple —
+    or to `tile_pad` (a BLOCK multiple) so a tile-sharded mesh gives every
+    device whole kernel blocks (parallel/engine.tile_pad_for). Padded tiles
+    carry count 0 and index-0 slots (never rendered)."""
     T = tab.shape[0]
-    Tp = pad_tiles(T)
+    mult = max(tile_pad, 1)
+    Tp = max(pad_tiles(T), -(-T // mult) * mult)
     if Tp == T:
         return tab, counts
     return (jnp.pad(tab, ((0, Tp - T), (0, 0))),
@@ -71,7 +75,8 @@ def fields8(params: GaussianParams) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile", "chunk"))
+    static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
+                     "chunk", "tile_pad"))
 def build_track_cache(
     params: GaussianParams,
     active: jnp.ndarray,
@@ -83,6 +88,7 @@ def build_track_cache(
     span_cap: int = 3,
     max_pairs_per_tile: int = 512,
     chunk: int = 128,
+    tile_pad: int = 0,
 ) -> TrackCache:
     """Bin once at the initial pose; gather all per-slot fields."""
     from ..ops import geometry as geo
@@ -102,7 +108,7 @@ def build_track_cache(
                              params.opacities(), cam, active)
 
     binned = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt)
-    tab, counts = pad_bin_tables(binned.tab, binned.counts)
+    tab, counts = pad_bin_tables(binned.tab, binned.counts, tile_pad)
 
     slots = gather_channels(fields8(params), tab)          # (Tp, 8, mpt)
     return TrackCache(slots8=slots, counts=counts, radii=proj.radius)

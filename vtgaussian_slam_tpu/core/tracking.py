@@ -140,31 +140,22 @@ def track_frame(
     return jax.lax.fori_loop(0, cfg.num_iters, body, (state, zeros, zeros))
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
-def track_frame_cached(
-    cache,                        # core.track_cache.TrackCache
-    state: TrackState,
-    frame: Frame,
-    aux_mask: jnp.ndarray,
-    p2p_target: P2PTarget,
-    cam: Camera,
-    cfg: TrackingConfig,
-) -> TrackState:
-    """`track_frame` over the frozen-binning renderer (core/track_cache.py):
-    per-iteration cost drops to elementwise reprojection + the Pallas blend —
-    no pair sort, no record gather."""
+def track_loop(render_fn, state: TrackState, frame: Frame,
+               aux_mask: jnp.ndarray, p2p_target: P2PTarget, cam: Camera,
+               cfg: TrackingConfig):
+    """The fused tracking optimization loop over an arbitrary pose-
+    differentiable renderer `render_fn(quat, trans) -> RenderResult`.
+    Shared by the single-chip cached path (track_frame_cached) and the
+    tile-sharded multi-chip path (parallel/engine.py)."""
     from .losses import loss_from_render
-    from .track_cache import render_cached
 
     b1, b2, eps = 0.9, 0.999, 1e-8
     lr = jnp.concatenate([
         jnp.full((4,), cfg.lr_quat), jnp.full((3,), cfg.lr_trans)
     ]).astype(state.quat.dtype)
-    bk = dict(cfg.loss_cfg.backend_kwargs)
-    chunk = max(bk.get("chunk", 128), 128)
 
     def loss_fn(quat, trans, sil_thres, is_first):
-        r = render_cached(cache, quat, trans, cam, chunk=chunk)
+        r = render_fn(quat, trans)
         out = loss_from_render(r, frame, cfg.loss_cfg, sil_thres, is_first,
                                aux_mask)
         return out.loss, out
@@ -207,6 +198,32 @@ def track_frame_cached(
 
     zeros = jnp.zeros((cfg.num_iters,), state.quat.dtype)
     return jax.lax.fori_loop(0, cfg.num_iters, body, (state, zeros, zeros))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def track_frame_cached(
+    cache,                        # core.track_cache.TrackCache
+    state: TrackState,
+    frame: Frame,
+    aux_mask: jnp.ndarray,
+    p2p_target: P2PTarget,
+    cam: Camera,
+    cfg: TrackingConfig,
+) -> TrackState:
+    """`track_frame` over the frozen-binning renderer (core/track_cache.py):
+    per-iteration cost drops to elementwise reprojection + the Pallas blend —
+    no pair sort, no record gather."""
+    from .track_cache import render_cached
+
+    # larger walk chunks amortize per-chunk loop/issue overhead: 256 lanes
+    # measured 26.3 -> 20.1 ms fwd+bwd at the Replica working set
+    mpt = cache.slots8.shape[2]
+    chunk = 256 if mpt % 256 == 0 else 128
+
+    def render_fn(quat, trans):
+        return render_cached(cache, quat, trans, cam, chunk=chunk)
+
+    return track_loop(render_fn, state, frame, aux_mask, p2p_target, cam, cfg)
 
 
 def probe_loss(params, active, quat, trans, frame, cam, cfg: LossConfig,

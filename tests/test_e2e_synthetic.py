@@ -216,3 +216,28 @@ class TestTrackingLossViz:
         pngs = glob.glob(str(tmp_path / "synthetic" / "tracking_loss_viz"
                              / "frame*.png"))
         assert len(pngs) >= 2, pngs
+
+
+class TestTrackRebin:
+    def test_rebin_matches_single_bin_on_low_motion(self):
+        """tpu.track_rebin_every segments the fused loop with cache rebuilds
+        between segments; at low motion the trajectories stay close to the
+        single-binning run (the policy must not perturb easy scenes), and
+        the mechanism actually executes (jit iters accounted per segment)."""
+        def run(rebin):
+            cfg = make_config(num_frames=5, track_iters=12, map_iters=6,
+                              motion_scale=0.05)
+            cfg["tpu"]["track_rebin_every"] = rebin
+            eng = VTGaussianSLAM(cfg)
+            eng.run(progress=False)
+            return eng
+
+        e0 = run(0)
+        e1 = run(5)   # segments of 5, 5, 2
+        assert e1.stats["tracking_jit_iters"] == e0.stats["tracking_jit_iters"]
+        t0 = np.asarray(e0.traj.trans[:5])
+        t1 = np.asarray(e1.traj.trans[:5])
+        assert np.isfinite(t1).all()
+        # rebinned render differs only for near-equal-depth blend order /
+        # tile-edge splats; poses must stay within scene-noise of each other
+        np.testing.assert_allclose(t1, t0, atol=5e-3)

@@ -171,8 +171,8 @@ def _accum_to_result(accum, cam: Camera, tile: int = 16) -> RenderResult:
                         depth_sq=img[5:6], radii=jnp.zeros((1,), img.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def splat_binned(fields8, tab, main, ov_pos, ov_slot, quat, trans, counts,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def splat_binned(fields8, tab, inv, quat, trans, counts,
                  cam: Camera, chunk: int, interpret: bool):
     """Fused differentiable binned render for the mapping loop:
     fields8 (M, 8) -> slot gather (frozen tab) -> fused splat kernel ->
@@ -183,15 +183,16 @@ def splat_binned(fields8, tab, main, ov_pos, ov_slot, quat, trans, counts,
     (P, 8) view reads one 32-byte sector per gathered row, where chaining
     two custom VJPs would force the (Tp, 8, mpt) cotangent layout whose
     per-row reads stride 8 HBM transactions (measured 25.5 -> ~9 ms at the
-    Replica working set). Only the LAST Ng rows of fields8 (those covered
-    by main) receive gradients; pose cotangents are zero (mapping
-    never differentiates pose — lrs 1e-8/1e-7 are the reference's no-op)."""
-    return _splat_binned_fwd(fields8, tab, main, ov_pos, ov_slot, quat,
-                             trans, counts, cam, chunk, interpret)[0]
+    Replica working set). `inv` is the pre-clipped compact inverse map
+    (binning.CompactInv); only the LAST Ng rows of fields8 (those it
+    covers) receive gradients; pose cotangents are zero (mapping never
+    differentiates pose — lrs 1e-8/1e-7 are the reference's no-op)."""
+    return _splat_binned_fwd(fields8, tab, inv, quat, trans, counts, cam,
+                             chunk, interpret)[0]
 
 
-def _splat_binned_fwd(fields8, tab, main, ov_pos, ov_slot, quat, trans,
-                      counts, cam, chunk, interpret):
+def _splat_binned_fwd(fields8, tab, inv, quat, trans, counts, cam, chunk,
+                      interpret):
     from ..ops import geometry as geo
 
     tiles_x = -(-cam.width // 16)
@@ -200,36 +201,35 @@ def _splat_binned_fwd(fields8, tab, main, ov_pos, ov_slot, quat, trans,
     slots = gather_channels(fields8, tab)                  # (Tp, 8, mpt)
     accum = _fwd_call(slots, R9, trans, counts, jnp.zeros((), jnp.int32),
                       cam, tiles_x, chunk, interpret)
-    res = (slots, R9, trans, counts, accum, main, ov_pos, ov_slot,
-           fields8.shape[0])
+    res = (slots, R9, trans, counts, accum, inv, fields8.shape[0])
     return accum, res
 
 
 def _splat_binned_bwd(cam, chunk, interpret, res, g):
     import numpy as np
-    slots, R9, trans, counts, accum, main, ov_pos, ov_slot, M = res
+    slots, R9, trans, counts, accum, inv, M = res
     tiles_x = -(-cam.width // 16)
     Tp, _, mpt = slots.shape
     P = Tp * mpt
-    mcap = ov_pos.shape[0]
     grad_rows = _bwd_call(slots, R9, trans, counts, jnp.zeros((), jnp.int32),
                           accum, g, cam, tiles_x, chunk, interpret,
                           "vals_rows")                     # (Tp, mpt, 8)
     flat = grad_rows.reshape(P, 8)
-    m2 = (main >= 0).astype(flat.dtype)[..., None]
-    g_main = jnp.sum(flat[jnp.clip(main, 0, P - 1)] * m2, axis=1)  # (Ng, 8)
-    mo = (ov_pos >= 0).astype(flat.dtype)[..., None]
-    ov_rows = jnp.sum(flat[jnp.clip(ov_pos, 0, P - 1)] * mo, axis=1)
-    valid = (ov_slot < mcap).astype(flat.dtype)[:, None]
-    g_tail = g_main + ov_rows[jnp.clip(ov_slot, 0, mcap - 1)] * valid
-    Ng = main.shape[0]
+    m2 = inv.main_mask.astype(flat.dtype)[..., None]
+    g_main = jnp.sum(flat[inv.main] * m2, axis=1)          # (Ng, 8)
+    mo = inv.ov_mask.astype(flat.dtype)[..., None]
+    ov_rows = jnp.sum(flat[inv.ov_pos] * mo, axis=1)       # (Mcap, 8)
+    valid = inv.ov_valid.astype(flat.dtype)[:, None]
+    g_tail = g_main + ov_rows[inv.ov_slot] * valid
+    Ng = inv.main.shape[0]
     if Ng < M:
         g_tail = jnp.concatenate(
             [jnp.zeros((M - Ng, 8), flat.dtype), g_tail], axis=0)
     f0 = jax.dtypes.float0
     g_tab = np.zeros((Tp, mpt), f0)
-    return (g_tail, g_tab, np.zeros(main.shape, f0),
-            np.zeros(ov_pos.shape, f0), np.zeros(ov_slot.shape, f0),
+    g_inv = jax.tree_util.tree_map(
+        lambda a: np.zeros(jnp.shape(a), f0), inv)
+    return (g_tail, g_tab, g_inv,
             jnp.zeros((4,), flat.dtype), jnp.zeros((3,), flat.dtype),
             np.zeros(counts.shape, f0))
 
@@ -243,9 +243,8 @@ def render_binned(fields8: jnp.ndarray, kfc: KFBinCache, cam: Camera,
 
     fields8: (N, 8) rows [means3d (frozen; zero grads by kernel
     construction), logit_op, log_scale, rgb] (track_cache.fields8)."""
-    accum = splat_binned(fields8, kfc.tab, kfc.inv.main, kfc.inv.ov_pos,
-                         kfc.inv.ov_slot, kfc.quat, kfc.trans, kfc.counts,
-                         cam, max(chunk, 128),
+    accum = splat_binned(fields8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
+                         kfc.counts, cam, max(chunk, 128),
                          jax.default_backend() == "cpu")
     return _accum_to_result(accum, cam)
 
@@ -260,9 +259,8 @@ def render_binned_global(fields8: jnp.ndarray, gc: GlobalBinCache,
     only."""
     cat = jnp.concatenate(
         [jax.lax.stop_gradient(gc.fixed_fields8), fields8], axis=0)
-    accum = splat_binned(cat, gc.tab, gc.inv.main, gc.inv.ov_pos,
-                         gc.inv.ov_slot, gc.quat, gc.trans, gc.counts,
-                         cam, max(chunk, 128),
+    accum = splat_binned(cat, gc.tab, gc.inv, gc.quat, gc.trans,
+                         gc.counts, cam, max(chunk, 128),
                          jax.default_backend() == "cpu")
     return _accum_to_result(accum, cam)
 
@@ -398,9 +396,12 @@ def dummy_global_cache(params: GaussianParams) -> GlobalBinCache:
         tab=jnp.zeros((BLOCK, 128), jnp.int32),
         counts=jnp.zeros((BLOCK,), jnp.int32),
         inv=CompactInv(
-            main=jnp.full((params.means3d.shape[0], 2), -1, jnp.int32),
-            ov_pos=jnp.full((128, 1), -1, jnp.int32),
-            ov_slot=jnp.full((params.means3d.shape[0],), 128, jnp.int32),
+            main=jnp.zeros((params.means3d.shape[0], 2), jnp.int32),
+            main_mask=jnp.zeros((params.means3d.shape[0], 2), bool),
+            ov_pos=jnp.zeros((128, 1), jnp.int32),
+            ov_mask=jnp.zeros((128, 1), bool),
+            ov_slot=jnp.zeros((params.means3d.shape[0],), jnp.int32),
+            ov_valid=jnp.zeros((params.means3d.shape[0],), bool),
             n_ov=jnp.zeros((), jnp.int32)),
         quat=jnp.asarray([1.0, 0.0, 0.0, 0.0], f32),
         trans=jnp.zeros((3,), f32),

@@ -515,21 +515,43 @@ class VTGaussianSLAM:
                 self.config["tpu"].get("track_cache", True):
             bk = dict(self.backend_kwargs)
             mpt = bk.get("max_pairs_per_tile", 512)
-            cache = build_track_cache(
-                sec.params, sec.active_mask(), state.quat, state.trans,
-                self.cam, span_cap=bk.get("span_cap", 3),
-                max_pairs_per_tile=mpt,
-                chunk=bk.get("chunk", 128), tile_pad=self.tile_pad)
-            n_tiles = (-(-self.cam.height // 16)) * (-(-self.cam.width // 16))
-            trunc = float((np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
-            self.stats["tile_truncation_frac_max"] = max(
-                self.stats["tile_truncation_frac_max"], trunc)
-            t_jit = time.time()
-            state, im_h, d_h = self._track_cached_fn(
-                cache, state, frame, aux_mask, p2p_t, self.cam, tcfg)
-            state.best_quat.block_until_ready()
-            self.stats["tracking_jit_time_sum"] += time.time() - t_jit
-            self.stats["tracking_jit_iters"] += tcfg.num_iters
+            # rebinning policy (VERDICT round-1 item 6): the frozen binning
+            # is exact only near the build pose. tpu.track_rebin_every > 0
+            # splits the fused loop into segments and rebins at the CURRENT
+            # pose between them, bounding staleness under large per-frame
+            # motion (TUM/ScanNet budgets, high-motion scenes); Adam state
+            # and best-candidate bookkeeping carry across segments. 0 (the
+            # default) keeps one binning per phase — phase boundaries and
+            # iteration-doubling already rebuild.
+            rebin = int(self.config["tpu"].get("track_rebin_every", 0) or 0)
+            total = tcfg.num_iters
+            seg_lens = ([total] if rebin <= 0 or rebin >= total else
+                        [rebin] * (total // rebin)
+                        + ([total % rebin] if total % rebin else []))
+            im_hs, d_hs = [], []
+            for seg in seg_lens:
+                cache = build_track_cache(
+                    sec.params, sec.active_mask(), state.quat, state.trans,
+                    self.cam, span_cap=bk.get("span_cap", 3),
+                    max_pairs_per_tile=mpt,
+                    chunk=bk.get("chunk", 128), tile_pad=self.tile_pad)
+                n_tiles = (-(-self.cam.height // 16)) * \
+                    (-(-self.cam.width // 16))
+                trunc = float(
+                    (np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
+                self.stats["tile_truncation_frac_max"] = max(
+                    self.stats["tile_truncation_frac_max"], trunc)
+                t_jit = time.time()
+                state, im_h, d_h = self._track_cached_fn(
+                    cache, state, frame, aux_mask, p2p_t, self.cam,
+                    tcfg._replace(num_iters=seg))
+                state.best_quat.block_until_ready()
+                self.stats["tracking_jit_time_sum"] += time.time() - t_jit
+                self.stats["tracking_jit_iters"] += seg
+                im_hs.append(np.asarray(im_h))
+                d_hs.append(np.asarray(d_h))
+            im_h = np.concatenate(im_hs)
+            d_h = np.concatenate(d_hs)
         else:
             t_jit = time.time()
             state, im_h, d_h = track_frame(

@@ -169,12 +169,20 @@ class CompactInv(NamedTuple):
     (Mcap, 8) overflow-sum operand, combined clamp+mask (a concat-based
     virtual-row variant kept getting its main gather fused with the concat
     producer, 3x slower). Row-reads drop ~3.7M -> ~2.6M at the Replica
-    working set, all gather-only."""
-    main: jnp.ndarray     # (N, 2) table positions, -1 = pad
-    ov_pos: jnp.ndarray   # (Mcap, s2-2) extra positions, -1 = pad
-    ov_slot: jnp.ndarray  # (N,) overflow row per gaussian, Mcap = none
-    n_ov: jnp.ndarray     # scalar int32 — true overflow count (host-side
-    #                       check: must be <= Mcap or extras were dropped)
+    working set, all gather-only.
+
+    Indices ship pre-CLIPPED with separate boolean masks so the backward
+    does no per-iteration compare/select work on the (N, 2) tables (these
+    are frozen per keyframe; recomputing masks each iteration measured
+    ~3 ms at the Replica working set)."""
+    main: jnp.ndarray       # (N, 2) table positions, clipped to [0, P)
+    main_mask: jnp.ndarray  # (N, 2) bool — False = pad
+    ov_pos: jnp.ndarray     # (Mcap, s2-2) extra positions, clipped
+    ov_mask: jnp.ndarray    # (Mcap, s2-2) bool
+    ov_slot: jnp.ndarray    # (N,) overflow row, clipped; valid iff ov_valid
+    ov_valid: jnp.ndarray   # (N,) bool — gaussian has an overflow row
+    n_ov: jnp.ndarray       # scalar int32 — true overflow count (host-side
+    #                         check: must be <= Mcap or extras were dropped)
 
 
 def compact_inverse(inv_pos: jnp.ndarray,
@@ -195,11 +203,15 @@ def compact_inverse(inv_pos: jnp.ndarray,
     n_ov = jnp.sum(has_ov.astype(jnp.int32))
     order = jnp.argsort(~has_ov)                       # overflow rows first
     ov_gid = order[:mcap]
-    ov_valid = has_ov[ov_gid]
-    ov_pos = jnp.where(ov_valid[:, None], extras[ov_gid], -1)
-    ov_slot = jnp.full((N,), mcap, jnp.int32).at[ov_gid].set(
-        jnp.where(ov_valid, jnp.arange(mcap, dtype=jnp.int32), mcap))
-    return CompactInv(main=main, ov_pos=ov_pos, ov_slot=ov_slot, n_ov=n_ov)
+    ov_valid_rows = has_ov[ov_gid]
+    ov_pos = jnp.where(ov_valid_rows[:, None], extras[ov_gid], -1)
+    slot_of = jnp.full((N,), mcap, jnp.int32).at[ov_gid].set(
+        jnp.where(ov_valid_rows, jnp.arange(mcap, dtype=jnp.int32), mcap))
+    return CompactInv(
+        main=jnp.maximum(main, 0), main_mask=main >= 0,
+        ov_pos=jnp.maximum(ov_pos, 0), ov_mask=ov_pos >= 0,
+        ov_slot=jnp.minimum(slot_of, mcap - 1), ov_valid=slot_of < mcap,
+        n_ov=n_ov)
 
 
 @jax.custom_vjp

@@ -167,10 +167,10 @@ def _make_splat_binned_sharded(mesh: Mesh, cam: Camera, tiles_x: int,
     interp = _interp()
 
     @jax.custom_vjp
-    def splat(f8, tab, counts, main, ov_pos, ov_slot, R9, trans):
-        return fwd(f8, tab, counts, main, ov_pos, ov_slot, R9, trans)[0]
+    def splat(f8, tab, counts, inv, R9, trans):
+        return fwd(f8, tab, counts, inv, R9, trans)[0]
 
-    def fwd(f8, tab, counts, main, ov_pos, ov_slot, R9, trans):
+    def fwd(f8, tab, counts, inv, R9, trans):
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P(AXIS), P(AXIS), P(), P()),
@@ -185,22 +185,18 @@ def _make_splat_binned_sharded(mesh: Mesh, cam: Camera, tiles_x: int,
                     slots, acc)
 
         accum, slots, acc_local = run(f8, tab, counts, R9, trans)
-        return accum, (slots, counts, main, ov_pos, ov_slot, R9, trans,
-                       acc_local, f8.shape[0])
+        return accum, (slots, counts, inv, R9, trans, acc_local,
+                       f8.shape[0])
 
     def bwd(res, g):
-        (slots, counts, main, ov_pos, ov_slot, R9, trans, acc_local,
-         M) = res
-        mcap = ov_pos.shape[0]
+        slots, counts, inv, R9, trans, acc_local, M = res
 
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P(), P(AXIS),
-                      P()),
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(AXIS), P()),
             out_specs=P(),
             check_rep=False)
-        def run(slots_sh, counts_sh, main_, ovp_, ovs_, R9_, trans_,
-                acc_sh, g_):
+        def run(slots_sh, counts_sh, inv_, R9_, trans_, acc_sh, g_):
             Tl, _, mpt = slots_sh.shape
             Pl = Tl * mpt
             idx0 = jax.lax.axis_index(AXIS) * tiles_local
@@ -209,31 +205,32 @@ def _make_splat_binned_sharded(mesh: Mesh, cam: Camera, tiles_x: int,
                                   acc_sh, g_local, cam, tiles_x, chunk,
                                   interp, "vals_rows")   # (Tl, mpt, 8)
             flat = grad_rows.reshape(Pl, 8)
-            # compact-inverse positions are GLOBAL; each device reduces the
-            # subset living on its shard, partials psum over the mesh
+            # compact-inverse positions are GLOBAL (pre-clipped + masked);
+            # each device reduces the subset living on its shard, partials
+            # psum over the mesh
             lo = idx0 * mpt
-            lm = main_ - lo
-            m2 = ((main_ >= 0) & (lm >= 0) & (lm < Pl)).astype(
+            lm = inv_.main - lo
+            m2 = (inv_.main_mask & (lm >= 0) & (lm < Pl)).astype(
                 flat.dtype)[..., None]
             g_main = jnp.sum(flat[jnp.clip(lm, 0, Pl - 1)] * m2, axis=1)
-            lov = ovp_ - lo
-            mo = ((ovp_ >= 0) & (lov >= 0) & (lov < Pl)).astype(
+            lov = inv_.ov_pos - lo
+            mo = (inv_.ov_mask & (lov >= 0) & (lov < Pl)).astype(
                 flat.dtype)[..., None]
             ov_rows = jnp.sum(flat[jnp.clip(lov, 0, Pl - 1)] * mo, axis=1)
-            valid = (ovs_ < mcap).astype(flat.dtype)[:, None]
-            g_f8 = g_main + ov_rows[jnp.clip(ovs_, 0, mcap - 1)] * valid
+            valid = inv_.ov_valid.astype(flat.dtype)[:, None]
+            g_f8 = g_main + ov_rows[inv_.ov_slot] * valid
             return jax.lax.psum(g_f8, AXIS)
 
-        g_tail = run(slots, counts, main, ov_pos, ov_slot, R9, trans,
-                     acc_local, g)
-        Ng = main.shape[0]
+        g_tail = run(slots, counts, inv, R9, trans, acc_local, g)
+        Ng = inv.main.shape[0]
         if Ng < M:
             g_tail = jnp.concatenate(
                 [jnp.zeros((M - Ng, 8), g_tail.dtype), g_tail], axis=0)
         f0 = jax.dtypes.float0
+        g_inv = jax.tree_util.tree_map(
+            lambda a: np.zeros(jnp.shape(a), f0), inv)
         return (g_tail, np.zeros((slots.shape[0], slots.shape[2]), f0),
-                np.zeros(counts.shape, f0), np.zeros(main.shape, f0),
-                np.zeros(ov_pos.shape, f0), np.zeros(ov_slot.shape, f0),
+                np.zeros(counts.shape, f0), g_inv,
                 jnp.zeros((9,), g_tail.dtype), jnp.zeros((3,), g_tail.dtype))
 
     splat.defvjp(fwd, bwd)
@@ -269,8 +266,7 @@ def make_map_frame_binned_sharded(mesh: Mesh):
         def render_local(v8, k):
             q = geo.normalize(k.quat)
             R9 = geo.quat_to_rotmat(q).reshape(9)
-            accum = splat(v8, k.tab, k.counts, k.inv.main, k.inv.ov_pos,
-                          k.inv.ov_slot, R9, k.trans)
+            accum = splat(v8, k.tab, k.counts, k.inv, R9, k.trans)
             return _accum_to_result(accum, cam)
 
         def render_global(v8):
@@ -278,8 +274,7 @@ def make_map_frame_binned_sharded(mesh: Mesh):
             R9 = geo.quat_to_rotmat(q).reshape(9)
             cat = jnp.concatenate(
                 [jax.lax.stop_gradient(gc.fixed_fields8), v8], axis=0)
-            accum = splat_g(cat, gc.tab, gc.counts, gc.inv.main,
-                            gc.inv.ov_pos, gc.inv.ov_slot, R9, gc.trans)
+            accum = splat_g(cat, gc.tab, gc.counts, gc.inv, R9, gc.trans)
             return _accum_to_result(accum, cam)
 
         return map_binned_loop(render_local, render_global, params, kf, kfc,

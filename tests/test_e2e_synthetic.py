@@ -219,25 +219,44 @@ class TestTrackingLossViz:
 
 
 class TestTrackRebin:
-    def test_rebin_matches_single_bin_on_low_motion(self):
-        """tpu.track_rebin_every segments the fused loop with cache rebuilds
-        between segments; at low motion the trajectories stay close to the
-        single-binning run (the policy must not perturb easy scenes), and
-        the mechanism actually executes (jit iters accounted per segment)."""
-        def run(rebin):
-            cfg = make_config(num_frames=5, track_iters=12, map_iters=6,
-                              motion_scale=0.05)
-            cfg["tpu"]["track_rebin_every"] = rebin
-            eng = VTGaussianSLAM(cfg)
-            eng.run(progress=False)
-            return eng
+    """tpu.track_rebin_every segments the fused tracking loop with cache
+    rebuilds at the CURRENT pose between segments. Two separable claims:
 
-        e0 = run(0)
-        e1 = run(5)   # segments of 5, 5, 2
-        assert e1.stats["tracking_jit_iters"] == e0.stats["tracking_jit_iters"]
+    1. The segment carry (Adam moments/count, best-candidate bookkeeping,
+       sil threshold) is exact: a single segment covering the whole budget
+       must be BIT-IDENTICAL to the unsegmented loop.
+    2. Actual rebinning re-culls/re-orders gaussians at the moved pose, so
+       it is a genuinely different optimization path — poses shift within
+       scene noise (diagnosed round 3: ~1e-2 at motion 0.05, carry verified
+       exact). The spec is therefore QUALITY preservation: rebinning must
+       not degrade tracking ATE on easy scenes.
+    """
+
+    @staticmethod
+    def _run(rebin):
+        cfg = make_config(num_frames=5, track_iters=12, map_iters=6,
+                          motion_scale=0.05)
+        cfg["tpu"]["track_rebin_every"] = rebin
+        eng = VTGaussianSLAM(cfg)
+        eng.run(progress=False)
+        est = [np.asarray(eng._traj_w2c_np(t)) for t in range(5)]
+        ate = float(evaluate_ate(eng.gt_w2c[:5], est))
+        return eng, ate
+
+    def test_segment_carry_is_exact(self):
+        # rebin >= budget -> one segment through the rebin code path; must
+        # reproduce the unsegmented loop bit-for-bit
+        e0, _ = self._run(0)
+        e1, _ = self._run(12)
         t0 = np.asarray(e0.traj.trans[:5])
         t1 = np.asarray(e1.traj.trans[:5])
-        assert np.isfinite(t1).all()
-        # rebinned render differs only for near-equal-depth blend order /
-        # tile-edge splats; poses must stay within scene-noise of each other
-        np.testing.assert_allclose(t1, t0, atol=5e-3)
+        np.testing.assert_array_equal(t1, t0)
+
+    def test_rebin_preserves_quality_on_low_motion(self):
+        e0, ate0 = self._run(0)
+        e1, ate1 = self._run(5)   # segments of 5, 5, 2
+        assert e1.stats["tracking_jit_iters"] == e0.stats["tracking_jit_iters"]
+        assert np.isfinite(np.asarray(e1.traj.trans[:5])).all()
+        # rebinning must not hurt easy scenes: ATE within 25% + 2 mm of the
+        # single-binning run (measured 0.0361 vs 0.0342 at this config)
+        assert ate1 <= ate0 * 1.25 + 2e-3, (ate1, ate0)

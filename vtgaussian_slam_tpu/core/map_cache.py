@@ -36,8 +36,9 @@ import jax.numpy as jnp
 
 from ..models.gaussians import GaussianParams
 from ..ops.camera import Camera
-from ..ops.rasterizer.binning import (CompactInv, bin_gaussians,
-                                      compact_inverse, gather_channels)
+from ..ops.rasterizer.binning import (SlotInv, apply_slot_inverse,
+                                      bin_gaussians, gather_channels,
+                                      slot_inverse)
 from ..ops.rasterizer.pallas_splat import (_bwd_call, _fwd_call,
                                            assemble_image, splat_blend)
 from ..ops.rasterizer.projection import project_gaussians
@@ -49,7 +50,7 @@ class KFBinCache(NamedTuple):
     """Per-keyframe frozen binning (stack these along a leading B axis)."""
     tab: jnp.ndarray        # (Tp, mpt) int32
     counts: jnp.ndarray     # (Tp,) int32
-    inv: CompactInv         # compacted inverse map (binning.compact_inverse)
+    inv: SlotInv            # sorted inverse map (binning.slot_inverse)
     quat: jnp.ndarray       # (4,) keyframe w2c rotation (unnormalized)
     trans: jnp.ndarray      # (3,)
 
@@ -60,7 +61,7 @@ class GlobalBinCache(NamedTuple):
     (/root/reference/src/vtgaussian_slam.py:2485-2510,2595-2603)."""
     tab: jnp.ndarray         # (Tp, mpt) int32 indices into the concat
     counts: jnp.ndarray      # (Tp,)
-    inv: CompactInv          # compact inverse of TRAINABLE gaussians
+    inv: SlotInv             # sorted inverse of TRAINABLE gaussians
     quat: jnp.ndarray        # (4,) base keyframe w2c rotation
     trans: jnp.ndarray       # (3,)
     fixed_fields8: jnp.ndarray  # (n_fixed, 8) frozen field rows
@@ -113,7 +114,7 @@ def build_kf_cache(
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
     tab, counts = pad_bin_tables(b.tab, b.counts, tile_pad)
-    inv = compact_inverse(b.inv_pos)
+    inv = slot_inverse(b.inv_pos)
     return KFBinCache(tab=tab, counts=counts, inv=inv,
                       quat=cam_quat, trans=cam_trans)
 
@@ -158,7 +159,7 @@ def build_global_cache(
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
                       with_inverse=True)
     tab, counts = pad_bin_tables(b.tab, b.counts, tile_pad)
-    inv = compact_inverse(b.inv_pos[n_fixed:])
+    inv = slot_inverse(b.inv_pos[n_fixed:])
     from .track_cache import fields8
     return GlobalBinCache(tab=tab, counts=counts, inv=inv,
                           quat=cam_quat, trans=cam_trans,
@@ -183,8 +184,8 @@ def splat_binned(fields8, tab, inv, quat, trans, counts,
     (P, 8) view reads one 32-byte sector per gathered row, where chaining
     two custom VJPs would force the (Tp, 8, mpt) cotangent layout whose
     per-row reads stride 8 HBM transactions (measured 25.5 -> ~9 ms at the
-    Replica working set). `inv` is the pre-clipped compact inverse map
-    (binning.CompactInv); only the LAST Ng rows of fields8 (those it
+    Replica working set). `inv` is the pre-clipped sorted inverse map
+    (binning.SlotInv); only the LAST Ng rows of fields8 (those it
     covers) receive gradients; pose cotangents are zero (mapping never
     differentiates pose — lrs 1e-8/1e-7 are the reference's no-op)."""
     return _splat_binned_fwd(fields8, tab, inv, quat, trans, counts, cam,
@@ -215,13 +216,8 @@ def _splat_binned_bwd(cam, chunk, interpret, res, g):
                           accum, g, cam, tiles_x, chunk, interpret,
                           "vals_rows")                     # (Tp, mpt, 8)
     flat = grad_rows.reshape(P, 8)
-    m2 = inv.main_mask.astype(flat.dtype)[..., None]
-    g_main = jnp.sum(flat[inv.main] * m2, axis=1)          # (Ng, 8)
-    mo = inv.ov_mask.astype(flat.dtype)[..., None]
-    ov_rows = jnp.sum(flat[inv.ov_pos] * mo, axis=1)       # (Mcap, 8)
-    valid = inv.ov_valid.astype(flat.dtype)[:, None]
-    g_tail = g_main + ov_rows[inv.ov_slot] * valid
-    Ng = inv.main.shape[0]
+    g_tail = apply_slot_inverse(flat, inv)                 # (Ng, 8)
+    Ng = inv.pos.shape[0]
     if Ng < M:
         g_tail = jnp.concatenate(
             [jnp.zeros((M - Ng, 8), flat.dtype), g_tail], axis=0)
@@ -315,18 +311,10 @@ class MapCacheStore:
 
     def _build(self, params, active, ring_idx, cam, span_cap, mpt):
         quat, trans = self.poses[ring_idx]
-        built = build_kf_cache(params, active, jnp.asarray(quat),
-                               jnp.asarray(trans), cam, span_cap=span_cap,
-                               max_pairs_per_tile=mpt,
-                               tile_pad=self.tile_pad)
-        n_ov = int(built.inv.n_ov)
-        mcap = built.inv.ov_pos.shape[0]
-        if n_ov > mcap and not getattr(self, "_ov_warned", False):
-            print(f"WARNING: compact-inverse overflow {n_ov} > {mcap}: "
-                  "gradient contributions of some 3rd+ tile slots are "
-                  "dropped this phase (raise binning.compact_inverse mcap)")
-            self._ov_warned = True
-        return built
+        return build_kf_cache(params, active, jnp.asarray(quat),
+                              jnp.asarray(trans), cam, span_cap=span_cap,
+                              max_pairs_per_tile=mpt,
+                              tile_pad=self.tile_pad)
 
     def _write(self, slot, kfc_one):
         self.stack = jax.tree.map(
@@ -395,14 +383,9 @@ def dummy_global_cache(params: GaussianParams) -> GlobalBinCache:
     return GlobalBinCache(
         tab=jnp.zeros((BLOCK, 128), jnp.int32),
         counts=jnp.zeros((BLOCK,), jnp.int32),
-        inv=CompactInv(
-            main=jnp.zeros((params.means3d.shape[0], 2), jnp.int32),
-            main_mask=jnp.zeros((params.means3d.shape[0], 2), bool),
-            ov_pos=jnp.zeros((128, 1), jnp.int32),
-            ov_mask=jnp.zeros((128, 1), bool),
-            ov_slot=jnp.zeros((params.means3d.shape[0],), jnp.int32),
-            ov_valid=jnp.zeros((params.means3d.shape[0],), bool),
-            n_ov=jnp.zeros((), jnp.int32)),
+        inv=SlotInv(
+            pos=jnp.zeros((params.means3d.shape[0], 4), jnp.int32),
+            w=jnp.zeros((params.means3d.shape[0], 4), jnp.float32)),
         quat=jnp.asarray([1.0, 0.0, 0.0, 0.0], f32),
         trans=jnp.zeros((3,), f32),
         fixed_fields8=jnp.zeros((1, 8), f32),

@@ -239,7 +239,8 @@ def map_frame_binned(
     # larger walk chunks amortize per-chunk loop/issue overhead (see
     # track_frame_cached)
     mpt = kfc.tab.shape[-1]
-    chunk = 256 if mpt % 256 == 0 else 128
+    chunk = (512 if mpt % 512 == 0 else
+             256 if mpt % 256 == 0 else 128)
 
     def render_local(v8, k):
         return render_binned(v8, k, cam, chunk)

@@ -154,64 +154,42 @@ def gather_channels(vals: jnp.ndarray, tab: jnp.ndarray) -> jnp.ndarray:
     return vals[tab].transpose(0, 2, 1)
 
 
-class CompactInv(NamedTuple):
-    """Compacted inverse map for the scatter-free gather backward.
+class SlotInv(NamedTuple):
+    """Sorted dense inverse map for the scatter-free gather backward.
 
-    The raw inverse map is (N, s2) with ~55% invalid (-1) pads: the padded
-    row gather costs N*s2 row-reads. Per-gaussian valid counts concentrate
-    at <= 2 (binning rects span 2x2 tiles but the mean disc touches ~1.6),
-    so the compact form keeps a (N, 2) MAIN table of each gaussian's top-2
-    positions and compacts the remaining positions of gaussians with >= 3
-    valid slots into an overflow list: ov_pos row k holds positions 2..s2-1
-    of overflow gaussian k, and ov_slot maps each gaussian to its overflow
-    row (Mcap = none). The backward is then three gathers — (N, 2) rows +
-    (Mcap, s2-2) rows from the flat grad table, plus N rows from the small
-    (Mcap, 8) overflow-sum operand, combined clamp+mask (a concat-based
-    virtual-row variant kept getting its main gather fused with the concat
-    producer, 3x slower). Row-reads drop ~3.7M -> ~2.6M at the Replica
-    working set, all gather-only.
-
-    Indices ship pre-CLIPPED with separate boolean masks so the backward
-    does no per-iteration compare/select work on the (N, 2) tables (these
-    are frozen per keyframe; recomputing masks each iteration measured
-    ~3 ms at the Replica working set)."""
-    main: jnp.ndarray       # (N, 2) table positions, clipped to [0, P)
-    main_mask: jnp.ndarray  # (N, 2) bool — False = pad
-    ov_pos: jnp.ndarray     # (Mcap, s2-2) extra positions, clipped
-    ov_mask: jnp.ndarray    # (Mcap, s2-2) bool
-    ov_slot: jnp.ndarray    # (N,) overflow row, clipped; valid iff ov_valid
-    ov_valid: jnp.ndarray   # (N,) bool — gaussian has an overflow row
-    n_ov: jnp.ndarray       # scalar int32 — true overflow count (host-side
-    #                         check: must be <= Mcap or extras were dropped)
+    The raw inverse map is (N, s2) positions with -1 pads. TPU row gathers
+    are row-count-bound (~5.8 ns/row at the Replica working set) but XLA
+    runs a fused `flat[idx2].sum(1)` at ~2.7x that rate, and any composite
+    mixing a small-table indirection into the same fusion serializes ~2x
+    slower still (measured: fused (N,2)+sum 14.3 ms; compact main+overflow
+    composite 27.6 ms; s2 SEPARATE single-index gathers + adds 17.8 ms at
+    N=917k, s2=4). So the inverse ships as s2 independent (N,) index
+    columns, valid-first, each with a pre-cast f32 weight column — the
+    backward is s2 single-index row gathers combined by cheap elementwise
+    FMAs, with NO overflow list and therefore no gradient drops at any
+    density (the previous compact form silently dropped 3rd+ slots beyond
+    its overflow capacity)."""
+    pos: jnp.ndarray   # (N, s2) flat table positions, valid-first
+    #                    (descending sort), clipped to [0, P)
+    w: jnp.ndarray     # (N, s2) f32 1.0/0.0 — 0 = pad (pre-cast: casting
+    #                    bool masks per iteration measured ~3 ms)
 
 
-def compact_inverse(inv_pos: jnp.ndarray,
-                    mcap: int | None = None) -> CompactInv:
-    """Build the compact inverse map from a raw (N, s2) one."""
-    N, s2 = inv_pos.shape
-    if mcap is None:
-        mcap = -(-N // 4 // 128) * 128
-    # valid-first ordering (valid entries are >= 0, pads are -1)
-    srt = -jnp.sort(-inv_pos, axis=1)                  # descending
-    main = srt[:, :2]
-    if s2 > 2:
-        extras = srt[:, 2:]
-        has_ov = extras[:, 0] >= 0
-    else:
-        extras = jnp.full((N, 1), -1, inv_pos.dtype)
-        has_ov = jnp.zeros((N,), bool)
-    n_ov = jnp.sum(has_ov.astype(jnp.int32))
-    order = jnp.argsort(~has_ov)                       # overflow rows first
-    ov_gid = order[:mcap]
-    ov_valid_rows = has_ov[ov_gid]
-    ov_pos = jnp.where(ov_valid_rows[:, None], extras[ov_gid], -1)
-    slot_of = jnp.full((N,), mcap, jnp.int32).at[ov_gid].set(
-        jnp.where(ov_valid_rows, jnp.arange(mcap, dtype=jnp.int32), mcap))
-    return CompactInv(
-        main=jnp.maximum(main, 0), main_mask=main >= 0,
-        ov_pos=jnp.maximum(ov_pos, 0), ov_mask=ov_pos >= 0,
-        ov_slot=jnp.minimum(slot_of, mcap - 1), ov_valid=slot_of < mcap,
-        n_ov=n_ov)
+def slot_inverse(inv_pos: jnp.ndarray) -> SlotInv:
+    """Build the sorted inverse map from a raw (N, s2) one."""
+    srt = -jnp.sort(-inv_pos, axis=1)                  # valid (>= 0) first
+    return SlotInv(pos=jnp.maximum(srt, 0),
+                   w=(srt >= 0).astype(jnp.float32))
+
+
+def apply_slot_inverse(flat: jnp.ndarray, inv: SlotInv) -> jnp.ndarray:
+    """(P, C) flat cotangent rows -> (N, C) per-gaussian sums (the exact
+    transpose of the `flat[tab]` slot gather; see SlotInv)."""
+    w = inv.w.astype(flat.dtype)
+    g = flat[inv.pos[:, 0]] * w[:, 0:1]
+    for k in range(1, inv.pos.shape[1]):
+        g = g + flat[inv.pos[:, k]] * w[:, k:k + 1]
+    return g
 
 
 @jax.custom_vjp

@@ -132,7 +132,8 @@ def make_track_frame_cached_sharded(mesh: Mesh):
         from ..ops import geometry as geo
 
         mpt = cache.slots8.shape[2]
-        chunk = 256 if mpt % 256 == 0 else 128
+        chunk = (512 if mpt % 512 == 0 else
+                 256 if mpt % 256 == 0 else 128)
         Tp = cache.slots8.shape[0]
         assert Tp % (n_dev * BLOCK) == 0, (Tp, n_dev)
         tiles_x = -(-cam.width // 16)
@@ -205,24 +206,20 @@ def _make_splat_binned_sharded(mesh: Mesh, cam: Camera, tiles_x: int,
                                   acc_sh, g_local, cam, tiles_x, chunk,
                                   interp, "vals_rows")   # (Tl, mpt, 8)
             flat = grad_rows.reshape(Pl, 8)
-            # compact-inverse positions are GLOBAL (pre-clipped + masked);
-            # each device reduces the subset living on its shard, partials
-            # psum over the mesh
+            # inverse positions are GLOBAL (valid-first, pre-clipped); each
+            # device reduces the subset living on its shard, partials psum
+            # over the mesh
             lo = idx0 * mpt
-            lm = inv_.main - lo
-            m2 = (inv_.main_mask & (lm >= 0) & (lm < Pl)).astype(
-                flat.dtype)[..., None]
-            g_main = jnp.sum(flat[jnp.clip(lm, 0, Pl - 1)] * m2, axis=1)
-            lov = inv_.ov_pos - lo
-            mo = (inv_.ov_mask & (lov >= 0) & (lov < Pl)).astype(
-                flat.dtype)[..., None]
-            ov_rows = jnp.sum(flat[jnp.clip(lov, 0, Pl - 1)] * mo, axis=1)
-            valid = inv_.ov_valid.astype(flat.dtype)[:, None]
-            g_f8 = g_main + ov_rows[inv_.ov_slot] * valid
+            lp = inv_.pos - lo
+            w = inv_.w * ((lp >= 0) & (lp < Pl)).astype(flat.dtype)
+            idx = jnp.clip(lp, 0, Pl - 1)
+            g_f8 = flat[idx[:, 0]] * w[:, 0:1]
+            for k in range(1, idx.shape[1]):
+                g_f8 = g_f8 + flat[idx[:, k]] * w[:, k:k + 1]
             return jax.lax.psum(g_f8, AXIS)
 
         g_tail = run(slots, counts, inv, R9, trans, acc_local, g)
-        Ng = inv.main.shape[0]
+        Ng = inv.pos.shape[0]
         if Ng < M:
             g_tail = jnp.concatenate(
                 [jnp.zeros((M - Ng, 8), g_tail.dtype), g_tail], axis=0)
@@ -252,7 +249,8 @@ def make_map_frame_binned_sharded(mesh: Mesh):
         from ..ops import geometry as geo
 
         mpt = kfc.tab.shape[-1]
-        chunk = 256 if mpt % 256 == 0 else 128
+        chunk = (512 if mpt % 512 == 0 else
+                 256 if mpt % 256 == 0 else 128)
         tiles_x = -(-cam.width // 16)
         Tp = kfc.tab.shape[1]
         assert Tp % (n_dev * BLOCK) == 0, (Tp, n_dev)

@@ -165,6 +165,14 @@ def make_config(dataset: str, scene_name: str, seed: int = 2,
                  show_sil=False, visualize_cams=True, viz_w=600, viz_h=340,
                  viz_near=0.01, viz_far=100.0, view_scale=2, viz_fps=5,
                  enter_interactive_post_online=False),
+        # span_cap 2 (vs the conservative default 3) at these resolutions:
+        # splats project to a few pixels (scale init ~ z/f meters ~ 1 px),
+        # so a 2x2-tile rect never truncates a visible disc, while binning
+        # sorts 4N instead of 9N pairs and the mapping backward gathers 4
+        # inverse columns instead of 9 (~45% cheaper mapping iteration).
+        # Tiny-image scenes (tests) keep the default 3 — see
+        # core/config.py and ROADMAP.md.
+        tpu=dict(span_cap=2),
     )
 
     if dataset == "replica":

@@ -120,3 +120,56 @@ class TestLPIPS:
         assert "other.stuff" not in out
         f = lpips_fn(out)
         assert f is not None
+
+
+class TestConverterSchemaMatrix:
+    """The converter against the EXACT key layouts of the two real
+    checkpoint families it claims to handle (VERDICT round-2 item 9):
+
+    - `lpips` package (richzhang/PerceptualSimilarity) full-module state
+      dict: net.slice{1..5}.{i}.weight/bias, lin{i}.model.1.weight, plus
+      scaling_layer.shift/scale buffers;
+    - torchmetrics LearnedPerceptualImagePatchSimilarity: the same module
+      held as a `net` attribute, so every key gains one more `net.` level
+      (net.net.slice*, net.lin*, net.scaling_layer.*) plus metric-state
+      buffers sum_scores/total.
+    """
+
+    def _canonical(self):
+        return torch_style_state()
+
+    def _lpips_package_state(self):
+        state = dict(self._canonical())
+        state["scaling_layer.shift"] = np.zeros((1, 3, 1, 1), np.float32)
+        state["scaling_layer.scale"] = np.ones((1, 3, 1, 1), np.float32)
+        return state
+
+    def _torchmetrics_state(self):
+        state = {f"net.{k}": v for k, v in self._lpips_package_state().items()}
+        state["sum_scores"] = np.zeros((), np.float32)
+        state["total"] = np.zeros((), np.int64)
+        return state
+
+    def _check(self, out):
+        canonical = self._canonical()
+        assert sorted(out) == sorted(canonical)
+        for k in canonical:
+            np.testing.assert_array_equal(out[k], canonical[k])
+        assert lpips_fn(out) is not None
+
+    def test_lpips_package_layout(self):
+        self._check(convert_state_dict(self._lpips_package_state()))
+
+    def test_torchmetrics_layout(self):
+        self._check(convert_state_dict(self._torchmetrics_state()))
+
+    def test_torch_save_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from vtgaussian_slam_tpu.eval.lpips_convert import convert
+        state = {k: torch.from_numpy(np.asarray(v))
+                 for k, v in self._torchmetrics_state().items()}
+        pth = tmp_path / "lpips_alex.pth"
+        npz = tmp_path / "lpips_alex.npz"
+        torch.save(state, str(pth))
+        convert(str(pth), str(npz))
+        self._check(dict(load_lpips_weights(str(npz))))

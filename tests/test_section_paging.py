@@ -58,3 +58,42 @@ class TestSectionPaging:
         assert len(params_ls) == 8
         for p in params_ls:
             assert np.isfinite(p["means3D"]).all()
+
+    def test_prefetch_starts_async_page_in(self):
+        """_prefetch_sections makes a cold section device-resident (async
+        dispatch) and bit-exact, and _sec then skips the blocking path."""
+        eng = run_engine(True)
+        kinds = [isinstance(s.params.means3d, np.ndarray)
+                 for s in eng.sections]
+        cold = kinds.index(True)
+        host_copy = np.array(eng.sections[cold].params.means3d)
+        ins0 = eng.stats.get("section_page_ins", 0)
+        wait0 = eng.stats.get("t_page_in", 0.0)
+        eng._prefetch_sections([cold])
+        assert not isinstance(eng.sections[cold].params.means3d, np.ndarray)
+        assert eng.stats["section_prefetched_ins"] >= 1
+        assert eng.stats["section_page_ins"] == ins0 + 1
+        sec = eng._sec(cold)  # already resident: no blocking page-in
+        assert eng.stats.get("t_page_in", 0.0) == wait0
+        np.testing.assert_array_equal(np.asarray(sec.params.means3d),
+                                      host_copy)
+
+    def test_boundary_selection_prefetches_candidates(self):
+        """The engine pre-pages boundary tracking candidates right after
+        selection (VERDICT round-2 item 8). In steady state candidates
+        usually stay hot (they double as the fixed global set), so force
+        the stress case: page EVERY section out right before a boundary
+        frame and assert the candidates come back via the async prefetch
+        path, not the blocking `_sec` page-in."""
+        cfg = make_config(num_frames=16, baseframe_every=2, track_iters=4,
+                          map_iters=4, motion_scale=0.05)
+        cfg["tpu"]["section_paging"] = True
+        eng = VTGaussianSLAM(cfg)
+        eng.process_frame_zero()
+        for t in range(1, 14):
+            eng.process_frame(t)
+        eng._page_cold_sections(hot=set())        # all sections cold
+        assert all(isinstance(s.params.means3d, np.ndarray)
+                   for s in eng.sections)
+        eng.process_frame(14)                     # boundary: select+prefetch
+        assert eng.stats.get("section_prefetched_ins", 0) >= 1, eng.stats

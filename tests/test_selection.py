@@ -45,6 +45,55 @@ class TestOverlapPercents:
         assert p[0] > 0.75
         assert p[1] < 0.05  # visible-mask kills inconsistent candidate
 
+    def test_strided_depth_pool_preserves_ranking(self):
+        """Scores from a stride-subsampled candidate depth pool match the
+        full-res scores closely enough to preserve the selection ranking
+        (BaseframeStore stores depths /stride; see pipeline.BaseframeStore).
+        Uses a non-constant depth field so subsampling actually matters."""
+        K = jnp.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]])
+        yy, xx = jnp.meshgrid(jnp.arange(48.0), jnp.arange(64.0),
+                              indexing="ij")
+        depth = 2.0 + 0.3 * jnp.sin(xx / 7.0) + 0.2 * jnp.cos(yy / 5.0)
+        offsets = [0.0, 0.3, 0.8, 2.0]
+        w2cs = jnp.stack([
+            geo.pose_to_w2c(jnp.array([1.0, 0, 0, 0]),
+                            jnp.array([dx, 0.0, 0.0])) for dx in offsets])
+        depths_full = jnp.stack([depth] * len(offsets))
+        s = 4
+        depths_sub = depths_full[:, ::s, ::s]
+        p_full = np.asarray(overlap_percents(
+            depth, jnp.eye(4), K, w2cs, depths_full, jax.random.PRNGKey(0),
+            pixels=0, edge=2, use_vis=True, kf_depth_thresh=0.05))
+        p_sub = np.asarray(overlap_percents(
+            depth, jnp.eye(4), K, w2cs, depths_sub, jax.random.PRNGKey(0),
+            pixels=0, edge=2, use_vis=True, kf_depth_thresh=0.05,
+            depth_stride=s))
+        np.testing.assert_allclose(p_sub, p_full, atol=0.08)
+        assert list(np.argsort(-p_sub)) == list(np.argsort(-p_full))
+
+
+class TestBaseframeStoreMemory:
+    def test_pool_memory_scales_inverse_stride_squared(self):
+        """The candidate pool's depth buffer is bounded by
+        #entries * H*W / stride^2 — a 1,000-baseframe ScanNet-scale pool
+        stays under 100 MB at the default stride (VERDICT round-2 item 4)."""
+        from vtgaussian_slam_tpu.core.pipeline import BaseframeStore
+        H, W, n = 480, 640, 1000
+        store = BaseframeStore(H, W, quantum=256, stride=4)
+        d = jnp.ones((H, W), jnp.float32)
+        q = jnp.array([1.0, 0, 0, 0])
+        tr = jnp.zeros(3)
+        for i in range(n):
+            store.append(i, d, q, tr)
+        assert len(store) == n
+        pool_bytes = store.depths.size * store.depths.dtype.itemsize
+        full_bytes = n * H * W * 4
+        assert pool_bytes < 100 * 1024 * 1024
+        assert pool_bytes * 8 < full_bytes  # ~stride^2 = 16x smaller (+quantum)
+        # stored values are exact strided samples
+        np.testing.assert_array_equal(np.asarray(store.depths[0]),
+                                      np.asarray(d[::4, ::4]))
+
 
 class TestHostSelection:
     def test_topk_overlap(self):

@@ -1,0 +1,82 @@
+"""Sensor model of the synthetic proxy dataset (VERDICT round-2 item 3):
+depth holes / disparity quantization / axial noise, exposure variation, and
+the TUM-like rotational motion profile. These are the degradations the
+engine's adaptive-sil thresholds, far-depth filter, and invalid-depth mask
+stack were designed for — the proxy must actually produce them."""
+import numpy as np
+
+from vtgaussian_slam_tpu.datasets.synthetic import SyntheticRoomDataset
+
+
+def make(sensor=True, **kw):
+    return SyntheticRoomDataset(num_frames=8, height=96, width=128, seed=3,
+                                motion_scale=0.05, sensor=sensor, **kw)
+
+
+class TestSensorModel:
+    def test_deterministic_reads(self):
+        ds = make()
+        c1, d1, _, p1 = ds[3]
+        c2, d2, _, p2 = ds[3]
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_holes_and_noise_present(self):
+        ds, clean = make(), make(sensor=None)
+        c, d, _, _ = ds[2]
+        c0, d0, _, _ = clean[2]
+        hole_frac = float((d[..., 0] == 0).mean())
+        assert 0.01 < hole_frac < 0.30   # blobs + grazing edges, not all
+        valid = d[..., 0] > 0
+        err = np.abs(d[..., 0] - d0[..., 0])[valid]
+        assert err.mean() > 1e-4          # noise + quantization happened
+        assert err.mean() < 0.05          # but depth stays metric
+        assert not np.array_equal(c, c0)  # exposure/shot noise on RGB
+        assert c.min() >= 0 and c.max() <= 255
+
+    def test_quantization_stairsteps(self):
+        ds = make(sensor=dict(axial_a=0.0, axial_b=0.0, hole_rate=0.0,
+                              edge_hole_grad=1e9, shot_noise=0.0,
+                              exposure=0.0))
+        _, d, _, _ = ds[0]
+        z = d[..., 0][d[..., 0] > 0]
+        # quantized depths take few distinct values relative to pixel count
+        assert len(np.unique(z)) < z.size / 8
+
+    def test_rot_profile_changes_rotation_only_smoothly(self):
+        base = SyntheticRoomDataset(num_frames=12, height=32, width=48,
+                                    seed=3, motion_scale=0.05)
+        rot = SyntheticRoomDataset(num_frames=12, height=32, width=48,
+                                   seed=3, motion_scale=0.05,
+                                   rot_profile_deg=1.5)
+        # per-frame relative rotation angle is bounded by look-at sweep +
+        # the profile peak, and exceeds the bare sweep on average
+        def step_angles(ds):
+            out = []
+            for i in range(1, 12):
+                R = ds._poses_abs[i - 1, :3, :3].T @ ds._poses_abs[i, :3, :3]
+                out.append(np.degrees(np.arccos(
+                    np.clip((np.trace(R) - 1) / 2, -1, 1))))
+            return np.asarray(out)
+        a0, a1 = step_angles(base), step_angles(rot)
+        assert a1.mean() > a0.mean()
+        assert a1.max() < a0.max() + 1.6   # peak bounded by the profile
+        # gt pose convention unchanged: first pose is identity
+        np.testing.assert_allclose(rot.poses[0], np.eye(4), atol=1e-6)
+
+    def test_engine_runs_on_sensor_frames(self):
+        """The full pipeline consumes sensor frames: invalid depth masked,
+        no NaNs, finite losses (smoke-level budget)."""
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_e2e_synthetic import make_config
+
+        from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
+
+        cfg = make_config(num_frames=4, baseframe_every=5, track_iters=3,
+                          map_iters=3, motion_scale=0.05)
+        cfg["data"]["synthetic"]["sensor"] = True
+        eng = VTGaussianSLAM(cfg)
+        eng.run(progress=False)
+        assert np.isfinite(np.asarray(eng.traj.trans[:4])).all()

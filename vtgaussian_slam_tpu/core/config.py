@@ -83,6 +83,10 @@ def prepare_config(config: dict) -> dict:
     tpu.setdefault("auto_pair_budget", True)
     tpu.setdefault("blend_chunk", 128)
     tpu.setdefault("baseframe_capacity_quantum", 64)
+    # selection candidate-pool depths are stored subsampled by this stride
+    # so the pool's device memory grows /stride^2 with sequence length
+    # (pipeline.BaseframeStore; 1 = full-res exact)
+    tpu.setdefault("baseframe_depth_stride", 4)
     return config
 
 

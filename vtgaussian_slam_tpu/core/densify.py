@@ -88,6 +88,64 @@ def densify_candidates_stream(
                              keep=keep, non_presence=keep_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "backend_kwargs"))
+def densify_nonpresence(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    frame: Frame,
+    cam: Camera,
+    sil_thres: float,
+    backend_kwargs: tuple = (),
+) -> jnp.ndarray:
+    """Just the (H, W) non-presence mask of `densify_candidates_base` —
+    the engine compacts candidate pixel indices on the HOST (the mask is
+    pulled there anyway for the densify-stream resize) so the appends
+    scatter ~10-100k compacted rows instead of one-per-pixel static
+    candidate arrays (3.26M rows at the hi-res stream; TPU scatter is
+    row-count-bound at ~90 ns/row, so the dense form cost ~0.3-1.5 s/frame)."""
+    r = render_slam(jax.lax.stop_gradient(params), active,
+                    jax.lax.stop_gradient(cam_quat),
+                    jax.lax.stop_gradient(cam_trans), cam,
+                    dict(backend_kwargs))
+    gt_depth = frame.depth[0]
+    render_depth = r.depth[0]
+    depth_err = jnp.abs(gt_depth - render_depth) * (gt_depth > 0)
+    return (r.silhouette < sil_thres) | (
+        (render_depth > gt_depth) & (depth_err > 50 * jnp.median(depth_err)))
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def densify_from_pixels(
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    depth_vals: jnp.ndarray,   # (M,) gt depths of compacted candidate pixels
+    colors: jnp.ndarray,       # (M, 3) in [0, 1]
+    idx: jnp.ndarray,          # (M,) int32 flat pixel index (pad rows: any)
+    valid: jnp.ndarray,        # (M,) bool — False = pad
+    cam: Camera,
+) -> DensifyCandidates:
+    """Back-project host-compacted candidate pixels (same math as
+    `densify_candidates_*`: +0.5 pixel center, x1.005 depth factor,
+    projective mean-sq-dist — /root/reference/src/vtgaussian_slam.py:76-128)."""
+    K = jnp.asarray(cam.intrinsics)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    f32 = depth_vals.dtype
+    rows = (idx // cam.width).astype(f32)
+    cols = (idx % cam.width).astype(f32)
+    z = depth_vals * 1.005
+    pts_cam = jnp.stack([(cols - cx + 0.5) / fx * z,
+                         (rows - cy + 0.5) / fy * z, z], -1)
+    w2c = geo.pose_to_w2c(geo.normalize(cam_quat), cam_trans)
+    pts = geo.transform_points(geo.invert_se3(w2c), pts_cam)
+    msq = geo.mean_sq_dist_projective(depth_vals, fx, fy)
+    keep = valid & (depth_vals > 0)
+    return DensifyCandidates(points=pts, colors=colors, mean3_sq_dist=msq,
+                             keep=keep, non_presence=valid)
+
+
 def first_frame_pointcloud(frame: Frame, cam: Camera,
                            mask: jnp.ndarray | None = None):
     """Full-frame back-projection for first-frame / base-frame section init

@@ -34,8 +34,7 @@ from ..ops import geometry as geo
 from ..ops.camera import setup_camera
 from ..ops.image import geometric_edge_mask, resize_mask_nearest
 from .config import prepare_config, separate_densification_res
-from .densify import (base_frame_pointcloud, densify_candidates_base,
-                      densify_candidates_stream, first_frame_pointcloud)
+from .densify import base_frame_pointcloud, first_frame_pointcloud
 from .losses import Frame, LossConfig, render_slam
 from .mapping import KeyframeBuffer, MappingConfig, map_frame
 from .p2p import P2PTarget, make_p2p_target
@@ -138,24 +137,38 @@ def auto_pair_budget(n_active: int, n_tiles: int, span_cap: int,
 
 class BaseframeStore:
     """Device-resident candidate pool for overlap selection (the reference's
-    `baseframe_list` of CPU dicts, :2804-2818)."""
+    `baseframe_list` of CPU dicts, :2804-2818).
 
-    def __init__(self, H: int, W: int, quantum: int = 64):
+    Depths are stored SUBSAMPLED by `stride` (exact strided samples, no
+    averaging — depth values must stay metric for the 1% consistency test):
+    the overlap scorer bilinear-samples candidate depths at <= H*W projected
+    points, and a strided grid shifts per-sample scores only at depth edges
+    (a few % of samples), leaving top-k rankings stable
+    (tests/test_selection.py). This bounds the pool's device memory at
+    O(#baseframes * H*W / stride^2) instead of full-res O(#baseframes * H*W)
+    — e.g. ScanNet scene0000 at overlap_every=5 accumulates ~1,100 entries:
+    1.3 GB full-res vs 84 MB at the default stride 4. Knob:
+    tpu.baseframe_depth_stride (1 = exact full-res)."""
+
+    def __init__(self, H: int, W: int, quantum: int = 64, stride: int = 4):
         self.H, self.W, self.quantum = H, W, quantum
+        self.stride = max(int(stride), 1)
+        self.sH = -(-H // self.stride)
+        self.sW = -(-W // self.stride)
         self.ids: list[int] = []
-        self.depths = jnp.zeros((quantum, H, W), jnp.float32)
+        self.depths = jnp.zeros((quantum, self.sH, self.sW), jnp.float32)
         self.quats = jnp.zeros((quantum, 4), jnp.float32)
         self.trans = jnp.zeros((quantum, 3), jnp.float32)
 
     def append(self, frame_id: int, depth, quat, trans):
         i = len(self.ids)
         if i >= self.depths.shape[0]:
-            grow = self.depths.shape[0] + self.quantum
             self.depths = jnp.pad(self.depths, ((0, self.quantum), (0, 0), (0, 0)))
             self.quats = jnp.pad(self.quats, ((0, self.quantum), (0, 0)))
             self.trans = jnp.pad(self.trans, ((0, self.quantum), (0, 0)))
         idx = jnp.asarray(i, jnp.int32)
-        self.depths = _ring_set(self.depths, idx, depth)
+        self.depths = _ring_set(self.depths, idx,
+                                depth[::self.stride, ::self.stride])
         self.quats = _ring_set(self.quats, idx, quat)
         self.trans = _ring_set(self.trans, idx, trans)
         self.ids.append(frame_id)
@@ -260,7 +273,8 @@ class VTGaussianSLAM:
         self.rng = jax.random.PRNGKey(cfg["seed"])
         self.np_rng = np.random.RandomState(cfg["seed"])
         self.baseframes = BaseframeStore(
-            H, W, cfg["tpu"]["baseframe_capacity_quantum"])
+            H, W, cfg["tpu"]["baseframe_capacity_quantum"],
+            stride=int(cfg["tpu"].get("baseframe_depth_stride", 4)))
         self.tracking_corr: list[list] = []     # tracking_baseframe_corr_list
         self.earliest_corr: list[list] = []     # earliest_baseframe_corr_list
         self.mapping_corr: list[list] = []      # baseframe_corr_list (mapping)
@@ -349,6 +363,11 @@ class VTGaussianSLAM:
             # densification over-adds, and map quality collapses. Raise
             # tpu.max_pairs_per_tile when this is high.
             "tile_truncation_frac_max": 0.0,
+            # per-frame overhead breakdown (seconds, cumulative): everything
+            # outside the fused optimization jits
+            "t_dataset": 0.0, "t_densify": 0.0, "t_map_store": 0.0,
+            "t_global_concat": 0.0, "t_global_cache": 0.0,
+            "t_track_cache": 0.0, "t_select": 0.0,
         }
 
         self._init_first_frame(color0, depth0)
@@ -499,7 +518,8 @@ class VTGaussianSLAM:
             frame.depth[0], cand_w2c, K,
             self.baseframes.w2cs()[:pool], self.baseframes.depths[:pool],
             k, pixels=0, edge=tr["edge"], use_vis=True,
-            kf_depth_thresh=tr["kf_depth_thresh"])
+            kf_depth_thresh=tr["kf_depth_thresh"],
+            depth_stride=self.baseframes.stride)
         topk = None if (t // self.bfe) <= 2 else tr["topk_base"]
         secs = select_earliest_topk_base(
             np.asarray(pct), cfg, tr["earliest_thres"],
@@ -530,11 +550,14 @@ class VTGaussianSLAM:
                         + ([total % rebin] if total % rebin else []))
             im_hs, d_hs = [], []
             for seg in seg_lens:
+                t_tc = time.time()
                 cache = build_track_cache(
                     sec.params, sec.active_mask(), state.quat, state.trans,
                     self.cam, span_cap=bk.get("span_cap", 3),
                     max_pairs_per_tile=mpt,
                     chunk=bk.get("chunk", 128), tile_pad=self.tile_pad)
+                cache.counts.block_until_ready()
+                self.stats["t_track_cache"] += time.time() - t_tc
                 n_tiles = (-(-self.cam.height // 16)) * \
                     (-(-self.cam.width // 16))
                 trunc = float(
@@ -553,6 +576,13 @@ class VTGaussianSLAM:
             im_h = np.concatenate(im_hs)
             d_h = np.concatenate(d_hs)
         else:
+            if self.mesh is not None and not getattr(
+                    self, "_warned_unsharded_track", False):
+                print("WARNING: tpu.mesh_devices > 1 but the generic "
+                      "tracking path has no sharded twin — tracking runs "
+                      "SINGLE-DEVICE this run (anisotropic gaussians or "
+                      "tpu.track_cache=False)")
+                self._warned_unsharded_track = True
             t_jit = time.time()
             state, im_h, d_h = track_frame(
                 sec.params, sec.active_mask(), state, frame, aux_mask, p2p_t,
@@ -695,9 +725,12 @@ class VTGaussianSLAM:
                                     jnp.eye(3), jnp.eye(4))
 
         if boundary and bf_idx >= 1:
+            t_sel = time.time()
             cand_w2c = jnp.asarray(self._traj_w2c_np(t))
             cand_secs, overlap_frame = self._select_boundary_sections(
                 t, frame, cand_w2c)
+            self.stats["t_select"] += time.time() - t_sel
+            self._prefetch_sections(cand_secs)
         else:
             cand_secs, overlap_frame = [min(bf_idx, len(self.sections) - 1)], None
 
@@ -812,35 +845,66 @@ class VTGaussianSLAM:
         return mask.reshape(H, W)
 
     # ------------------------------------------------------------------
-    def _densify(self, t, frame, edge_mask_np):
+    def _pixel_candidates(self, idx, depth0_np, color_np, cam, quat, trans,
+                          quantum: int = 1 << 15):
+        """Host-compacted candidate pixels -> device candidates.
+
+        `idx` is a (n,) array of flat pixel indices; it is bucket-padded to
+        a `quantum` multiple (few distinct jit keys) and only the candidate
+        rows' depth/color cross to the device — not the full frame."""
+        from .densify import densify_from_pixels
+        n = len(idx)
+        M = max(quantum, -(-(n + 1) // quantum) * quantum)
+        pad = np.zeros(M, np.int64)
+        pad[:n] = idx
+        valid = np.zeros(M, bool)
+        valid[:n] = True
+        dvals = depth0_np.reshape(-1)[pad].astype(np.float32)
+        cols = color_np.reshape(-1, 3)[pad].astype(np.float32) / 255.0
+        return densify_from_pixels(
+            quat, trans, jnp.asarray(dvals), jnp.asarray(cols),
+            jnp.asarray(pad, jnp.int32), jnp.asarray(valid), cam)
+
+    def _densify(self, t, frame, edge_mask_np, color_np, depth_np):
         """Insert new Gaussians into the current section (:2346-2390)."""
+        from .densify import densify_nonpresence
         bf_idx = t // self.bfe
         sec = self._sec(bf_idx)
         quat, trans = _traj_read(self.traj.quats, self.traj.trans, t)
-        cand = densify_candidates_base(
+        npres = densify_nonpresence(
             sec.params, sec.active_mask(), quat, trans, frame, self.cam,
             self.config["mapping"]["sil_thres"], self.backend_kwargs)
+        np_np = np.asarray(npres)
 
-        parts = [(cand.points, cand.colors, cand.mean3_sq_dist, cand.keep)]
+        # base stream: non-presence & valid depth, compacted on host
+        d0 = depth_np[..., 0]
+        idx_b = np.flatnonzero(np_np & (d0 > 0))
+        parts = [self._pixel_candidates(idx_b, d0, color_np, self.cam,
+                                        quat, trans)]
+
         # densify stream: resized non-presence & edge mask & valid depth
         dcam = self.densify_cam
-        np_mask = resize_mask_nearest(
-            np.asarray(cand.non_presence).astype(np.uint8),
-            dcam.width, dcam.height).astype(bool)
+        np_mask = resize_mask_nearest(np_np.astype(np.uint8),
+                                      dcam.width, dcam.height).astype(bool)
         e_mask = resize_mask_nearest(edge_mask_np.astype(np.uint8),
                                      dcam.width, dcam.height).astype(bool)
-        dframe = self._densify_frame(t) if self.sep_densify else frame
-        dc = densify_candidates_stream(quat, trans, dframe, dcam,
-                                       jnp.asarray(np_mask & e_mask))
-        parts.append((dc.points, dc.colors, dc.mean3_sq_dist, dc.keep))
+        if self.sep_densify:
+            dcolor_np, ddepth_np, _, _ = self.densify_dataset[t]
+        else:
+            dcolor_np, ddepth_np = color_np, depth_np
+        dd0 = np.asarray(ddepth_np)[..., 0]
+        idx_s = np.flatnonzero(np_mask & e_mask & (dd0 > 0))
+        parts.append(self._pixel_candidates(idx_s, dd0, np.asarray(dcolor_np),
+                                            dcam, quat, trans))
 
-        n_new = int(jnp.sum(parts[0][3])) + int(jnp.sum(parts[1][3]))
+        n_new = len(idx_b) + len(idx_s)
         need = int(sec.n_active) + n_new
         if need > sec.capacity:
             sec = G.repad_section(sec, G.round_capacity(need, self.quantum))
         ts = jnp.asarray(float(t), jnp.float32)
-        for pts, cols, msq, keep in parts:
-            sec = G.append_gaussians(sec, pts, cols, msq, keep, ts)
+        for c in parts:
+            sec = G.append_gaussians(sec, c.points, c.colors,
+                                     c.mean3_sq_dist, c.keep, ts)
         self.sections[bf_idx] = sec
         self.num_gs_per_frame_ls.append(n_new)
         return n_new
@@ -885,7 +949,8 @@ class VTGaussianSLAM:
                         self.baseframes.w2cs()[:pool],
                         self.baseframes.depths[:pool],
                         k, pixels=0, edge=cfg["tracking"]["edge"], use_vis=True,
-                        kf_depth_thresh=cfg["tracking"]["kf_depth_thresh"])
+                        kf_depth_thresh=cfg["tracking"]["kf_depth_thresh"],
+                        depth_stride=self.baseframes.stride)
                     sel, _ = select_visbased(np.asarray(pct), 1)
                     overlap_sec = (self.baseframes.ids[sel[0]] // self.bfe
                                    if sel else 0)
@@ -897,10 +962,12 @@ class VTGaussianSLAM:
         sec = self._sec(bf_idx)
 
         if use_global:
+            t0 = time.time()
             fixed, _ = G.concat_sections(
                 [self._sec(i) for i in self.fixed_section_ids],
                 quantum=self.quantum)
             fixed_params, fixed_active = fixed.params, fixed.active_mask()
+            self.stats["t_global_concat"] += time.time() - t0
         else:
             # 1-capacity dummy so jit signatures stay small
             dummy = G.init_section(
@@ -941,9 +1008,12 @@ class VTGaussianSLAM:
             W = min(self.bfe, int(cfg["tpu"].get("map_cache_slots", 64)))
             start = bf_idx * self.bfe
             cq, ct = _traj_read(self.traj.quats, self.traj.trans, t)
+            t0 = time.time()
             stack, slot_ids, count = self.map_store.update(
                 sec.params, active, int(sec.n_active), idx_in, cq, ct,
                 self.cam, span_cap, mpt, W)
+            jax.block_until_ready(stack.counts)
+            self.stats["t_map_store"] += time.time() - t0
             ids = jnp.asarray(start + np.arange(self.bfe), jnp.int32)
             kf = KeyframeBuffer(
                 colors=self.ring_colors, depths=self.ring_depths,
@@ -951,11 +1021,14 @@ class VTGaussianSLAM:
                 trans=_gather_rows(self.traj.trans, ids),
                 frame_ids=ids, count=jnp.asarray(count, jnp.int32))
             if use_global:
+                t0 = time.time()
                 bq, bt = _traj_read(self.traj.quats, self.traj.trans, start)
                 gcache = build_global_cache(
                     fixed_params, fixed_active, sec.params, active, bq, bt,
                     self.cam, span_cap=span_cap, max_pairs_per_tile=mpt,
                     tile_pad=self.tile_pad)
+                jax.block_until_ready(gcache.counts)
+                self.stats["t_global_cache"] += time.time() - t0
             else:
                 gcache = dummy_global_cache(sec.params)
             map_fn = self._map_binned_fn or map_frame_binned
@@ -967,6 +1040,14 @@ class VTGaussianSLAM:
             self.stats["mapping_jit_iters"] += mcfg.num_iters
         else:
             # generic autodiff path (anisotropic / nonzero means lr)
+            if self.mesh is not None and not getattr(
+                    self, "_warned_unsharded_map", False):
+                print("WARNING: tpu.mesh_devices > 1 but the generic "
+                      "(non-binned) mapping path has no sharded twin — "
+                      "mapping runs SINGLE-DEVICE this run (anisotropic "
+                      "gaussians or nonzero means3D/unnorm_rotations "
+                      "mapping lrs, or tpu.map_binned=False)")
+                self._warned_unsharded_map = True
             if boundary:
                 ids = jnp.asarray([t], jnp.int32)
                 colors = frame.color[None]
@@ -1029,7 +1110,9 @@ class VTGaussianSLAM:
     def process_frame(self, t: int):
         cfg = self.config
         self._cur_frame_idx = t
+        t0 = time.time()
         color_np, depth_np, _, gt_pose = self.dataset[t]
+        self.stats["t_dataset"] += time.time() - t0
         frame = self._stage(color_np, depth_np)
         gt_w2c = np.linalg.inv(np.asarray(gt_pose, np.float64))
         self.gt_w2c.append(gt_w2c)
@@ -1055,9 +1138,12 @@ class VTGaussianSLAM:
         # densification + mapping
         if t == 0 or (t + 1) % cfg["map_every"] == 0:
             if cfg["mapping"]["add_new_gaussians"] and t > 0 and not boundary:
+                t0 = time.time()
                 edge_np = self._edge_mask_for(color_np, self.cam.width,
                                               self.cam.height)
-                self._densify(t, frame, edge_np)
+                self._densify(t, frame, edge_np, color_np, depth_np)
+                jax.block_until_ready(self.sections[bf_idx].params.means3d)
+                self.stats["t_densify"] += time.time() - t0
             if cfg["mapping"]["num_iters"] > 0:
                 self._map(t, frame)
 
@@ -1167,13 +1253,34 @@ class VTGaussianSLAM:
         """Device-resident section i, paging it back in if offloaded."""
         s = self.sections[i]
         if isinstance(s.params.means3d, np.ndarray):
+            t0 = time.time()
             s = jax.tree_util.tree_map(
                 lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
                 s)
             self.sections[i] = s
             self.stats["section_page_ins"] = \
                 self.stats.get("section_page_ins", 0) + 1
+            self.stats["t_page_in"] = \
+                self.stats.get("t_page_in", 0.0) + time.time() - t0
         return s
+
+    def _prefetch_sections(self, ids):
+        """Kick async host->HBM transfers for paged-out sections the moment
+        their ids are known (boundary selection output / the fixed global
+        set), so the transfer streams behind the host-side work between
+        selection and the first jit that touches them — page-in wait ~= 0
+        instead of blocking on the critical path (jax.device_put dispatches
+        asynchronously; `_sec` then finds the section already resident)."""
+        for i in ids:
+            if isinstance(self.sections[i].params.means3d, np.ndarray):
+                self.sections[i] = jax.tree_util.tree_map(
+                    lambda x: (jax.device_put(x)
+                               if isinstance(x, np.ndarray) else x),
+                    self.sections[i])
+                self.stats["section_page_ins"] = \
+                    self.stats.get("section_page_ins", 0) + 1
+                self.stats["section_prefetched_ins"] = \
+                    self.stats.get("section_prefetched_ins", 0) + 1
 
     def _page_cold_sections(self, hot):
         if not self.section_paging:

@@ -27,18 +27,21 @@ import numpy as np
 from ..ops import geometry as geo
 
 
-@functools.partial(jax.jit, static_argnames=("pixels", "edge", "use_vis"))
+@functools.partial(jax.jit, static_argnames=("pixels", "edge", "use_vis",
+                                             "depth_stride"))
 def overlap_percents(
     gt_depth: jnp.ndarray,      # (H, W) current frame depth
     w2c: jnp.ndarray,           # (4, 4) current pose estimate
     intrinsics: jnp.ndarray,    # (3, 3)
     kf_w2cs: jnp.ndarray,       # (B, 4, 4) candidate keyframe poses
-    kf_depths: jnp.ndarray,     # (B, H, W) candidate gt depths (vis mode)
+    kf_depths: jnp.ndarray,     # (B, H/s, W/s) candidate depths (vis mode),
+    #                             subsampled by depth_stride (BaseframeStore)
     rng: jnp.ndarray,
     pixels: int = 1600,         # 0 => use all pixels (vis-based variants)
     edge: int = 20,
     use_vis: bool = False,
     kf_depth_thresh: float = 0.01,
+    depth_stride: int = 1,
 ) -> jnp.ndarray:
     """Batched percent_inside for all B candidates. Invalid rows score 0."""
     H, W = gt_depth.shape
@@ -72,7 +75,8 @@ def overlap_percents(
             & (z > 0) & pmask
         )
         if use_vis:
-            d = geo.bilinear_sample(kf_depth, uv)
+            # stored pixel (i, j) holds the full-res sample at (i*s, j*s)
+            d = geo.bilinear_sample(kf_depth, uv / depth_stride)
             m = m & (jnp.abs(d - z) < kf_depth_thresh * jnp.minimum(d, z))
         return jnp.sum(m) / pts.shape[0]
 

@@ -31,6 +31,16 @@ def _look_at_c2w(pos: np.ndarray, target: np.ndarray) -> np.ndarray:
     return c2w
 
 
+def _so3_exp(w: np.ndarray) -> np.ndarray:
+    """Rodrigues: axis-angle (3,) -> rotation matrix."""
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
 def _texture(p: np.ndarray) -> np.ndarray:
     """Smooth multi-frequency 3D texture in [0, 1], shape (..., 3)."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
@@ -52,8 +62,21 @@ class SyntheticRoomDataset:
         seed: int = 0,
         motion_scale: float = 1.0,
         relative_pose: bool = True,
+        desired_height: int | None = None,
+        desired_width: int | None = None,
+        sensor: dict | bool | None = None,
+        rot_profile_deg: float = 0.0,
         **kwargs,
     ):
+        # desired_* override the scene config's base resolution (e.g. the 2x
+        # densification stream, basedataset contract) — FOV stays constant
+        # because fx/fy scale with width, and the seeded trajectory is
+        # resolution-independent, so frames at different resolutions are
+        # renders of the SAME scene and camera path
+        if desired_height:
+            height = desired_height
+        if desired_width:
+            width = desired_width
         self.num_imgs = num_frames
         self.desired_height = height
         self.desired_width = width
@@ -91,6 +114,50 @@ class SyntheticRoomDataset:
         )
         self._poses_abs = np.stack(
             [_look_at_c2w(pos[i], look[i]) for i in range(num_frames)])
+
+        # TUM-like rotational motion profile: integrate a smoothed random
+        # angular-velocity signal (peak |omega| = rot_profile_deg per frame)
+        # on top of the look-at sweep. fr1-class handheld sequences rotate
+        # ~0.8 deg/frame on average with multi-degree peaks — the look-at
+        # path alone stays well under that, so tracking never sees the
+        # rotation-dominated regime real data lives in.
+        if rot_profile_deg:
+            om = rng.standard_normal((num_frames, 3))
+            k = np.ones(9) / 9.0
+            om = np.stack([np.convolve(om[:, i], k, mode="same")
+                           for i in range(3)], -1)
+            om *= np.deg2rad(rot_profile_deg) / (
+                np.linalg.norm(om, axis=1).max() + 1e-12)
+            R = np.eye(3)
+            for i in range(num_frames):
+                R = R @ _so3_exp(om[i])
+                self._poses_abs[i, :3, :3] = self._poses_abs[i, :3, :3] @ R
+
+        # RGB-D sensor model (VERDICT round-2 item 3: "depth
+        # holes/quantization/noise, exposure variation"). All effects are
+        # deterministic per (seed, frame): repeated reads of the same index
+        # are bit-identical (prefetchers and the densify stream re-read).
+        if sensor:
+            defaults = dict(
+                axial_a=0.0012, axial_b=0.0019,  # sigma(z) = a + b(z-0.4)^2
+                #                                   (Kinect axial noise model)
+                fb=43.5, disp_levels=8.0,        # disparity quantization:
+                #                                   z = fb / (round(d*L)/L)
+                hole_rate=0.02,                  # random blob dropout frac
+                edge_hole_slope=5.0,             # tan(incidence) = |dz/dpx|
+                #                                   * f / z above which depth
+                #                                   drops out (grazing/edges;
+                #                                   5 ~ 79 deg incidence,
+                #                                   resolution-independent)
+                exposure=0.10,                   # peak per-frame gain swing
+                exposure_period=47.0,
+                shot_noise=1.5,                  # RGB sigma in [0,255] units
+            )
+            defaults.update(sensor if isinstance(sensor, dict) else {})
+            self.sensor = defaults
+        else:
+            self.sensor = None
+        self._sensor_seed = seed
         if relative_pose:
             inv0 = np.linalg.inv(self._poses_abs[0])
             self.poses = np.einsum("ij,njk->nik", inv0, self._poses_abs)
@@ -127,9 +194,54 @@ class SyntheticRoomDataset:
         color = _texture(hit) * 255.0
         return color.astype(np.float32), t.astype(np.float32)[..., None]
 
+    def _apply_sensor(self, index: int, color: np.ndarray,
+                      depth: np.ndarray):
+        """Degrade the ideal render like an RGB-D sensor would. Holes are
+        encoded as depth 0 (the invalid-depth convention every loader and
+        the loss mask stack already use)."""
+        sn = self.sensor
+        rng = np.random.default_rng([self._sensor_seed, index])
+        z = depth[..., 0].copy()
+        H, W = z.shape
+
+        # axial noise grows quadratically with range
+        sigma = sn["axial_a"] + sn["axial_b"] * (z - 0.4) ** 2
+        z = z + sigma * rng.standard_normal(z.shape).astype(np.float32)
+
+        # structured-light disparity quantization: depth resolution degrades
+        # ~z^2 with range (stair-stepping on far walls)
+        L = sn["disp_levels"]
+        disp_q = np.maximum(np.round(sn["fb"] / z * L) / L, 1e-6)
+        z = (sn["fb"] / disp_q).astype(np.float32)
+
+        # dropout: grazing-incidence pixels + random blobs. tan(incidence)
+        # ~= |dz per pixel| * f / z — resolution-independent, so the same
+        # walls drop out in the base and 2x densify streams
+        gy, gx = np.gradient(depth[..., 0])
+        zs = np.maximum(depth[..., 0], 1e-6)
+        holes = np.hypot(gx, gy) * self.fx / zs > sn["edge_hole_slope"]
+        if sn["hole_rate"] > 0:
+            cells = rng.standard_normal((max(H // 16, 1), max(W // 16, 1)))
+            thresh = np.quantile(cells, 1.0 - sn["hole_rate"],
+                                 method="higher")
+            holes |= np.kron(cells >= thresh, np.ones((16, 16),
+                                                      bool))[:H, :W]
+        z[holes] = 0.0
+
+        # exposure variation (auto-exposure drift) + shot noise
+        gain = 1.0 + sn["exposure"] * np.sin(
+            2 * np.pi * index / sn["exposure_period"]
+            + 2 * np.pi * (self._sensor_seed % 97) / 97.0)
+        color = color * gain + sn["shot_noise"] * \
+            rng.standard_normal(color.shape).astype(np.float32)
+        return (np.clip(color, 0.0, 255.0).astype(np.float32),
+                z[..., None].astype(np.float32))
+
     def __getitem__(self, index: int):
         c2w = self._poses_abs[index]
         color, depth = self.render_frame(c2w)
+        if self.sensor is not None:
+            color, depth = self._apply_sensor(index, color, depth)
         return (
             color,
             depth,

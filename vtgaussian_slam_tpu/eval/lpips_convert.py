@@ -29,13 +29,25 @@ _WRAPPER_PREFIXES = ("lpips.", "model.", "module.")
 def convert_state_dict(state: dict) -> dict:
     """Torch state dict -> {name: float32 ndarray} with wrapper prefixes
     stripped and only conv/linear tensors kept."""
-    out = {}
-    for k, v in state.items():
+    names = {}
+    for k in state:
         name = k
         for p in _WRAPPER_PREFIXES:
             if name.startswith(p):
                 name = name[len(p):]
-        if not (name.startswith("net.") or name.startswith("lin")):
+        names[k] = name
+    # torchmetrics' LearnedPerceptualImagePatchSimilarity holds the whole
+    # lpips module as its `net` attribute, so its state dict double-wraps:
+    # net.net.slice*, net.lin{i}.model.1.weight, net.scaling_layer.* (plus
+    # metric-state buffers sum_scores/total). Unwrap that extra level so
+    # the names match the `lpips` package layout.
+    if any(n.startswith("net.net.slice") for n in names.values()):
+        names = {k: (n[len("net."):] if n.startswith("net.") else n)
+                 for k, n in names.items()}
+    out = {}
+    for k, v in state.items():
+        name = names[k]
+        if not (name.startswith("net.slice") or name.startswith("lin")):
             continue
         arr = np.asarray(
             v.detach().cpu().numpy() if hasattr(v, "detach") else v,

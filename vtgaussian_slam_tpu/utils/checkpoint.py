@@ -53,6 +53,7 @@ def save_checkpoint(engine, time_idx: int) -> str:
         "time_idx": time_idx,
         "n_sections": len(engine.sections),
         "baseframe_ids": engine.baseframes.ids,
+        "baseframe_depth_stride": engine.baseframes.stride,
         "tracking_corr": engine.tracking_corr,
         "earliest_corr": [[int(x) if isinstance(x, (int, np.integer)) else x
                            for x in row] for row in engine.earliest_corr],
@@ -119,7 +120,14 @@ def load_checkpoint(engine, path: str | None = None,
     bs = engine.baseframes
     capn = max(bs.quantum, -(-max(nb, 1) // bs.quantum) * bs.quantum)
     bs.ids = list(meta["baseframe_ids"])
-    bs.depths = jnp.zeros((capn, bs.H, bs.W), jnp.float32).at[:nb].set(
+    # depths were saved at the saving engine's stride; adopt it (the pool
+    # stores exact strided samples, so no resampling is possible or needed)
+    ck_stride = int(meta.get("baseframe_depth_stride", 1))
+    if ck_stride != bs.stride:
+        bs.stride = ck_stride
+        bs.sH = -(-bs.H // ck_stride)
+        bs.sW = -(-bs.W // ck_stride)
+    bs.depths = jnp.zeros((capn, bs.sH, bs.sW), jnp.float32).at[:nb].set(
         jnp.asarray(data["baseframe_depths"]))
     bs.quats = jnp.zeros((capn, 4), jnp.float32).at[:nb].set(
         jnp.asarray(data["baseframe_quats"]))

@@ -81,7 +81,7 @@ def main():
 
     BREAK = ("tracking_jit_time_sum", "mapping_jit_time_sum", "t_dataset",
              "t_densify", "t_map_store", "t_global_concat", "t_global_cache",
-             "t_track_cache", "t_select")
+             "t_track_cache", "t_select", "t_stage", "t_track_prep")
     rows = []  # (t, dt, track_iters, map_iters)
     for t in range(1, NUM_FRAMES):
         s0 = dict(engine.stats)

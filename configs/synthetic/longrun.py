@@ -1,0 +1,101 @@
+"""Full-length sequence stress run (VERDICT round-2 item 3).
+
+2,000 frames at Replica room0 resolution (680x1200) with the RGB-D sensor
+model on (depth holes/quantization/noise, exposure variation, handheld
+rotation profile) and baseframe_every=40 -> 50 sections. Exercises, at full
+scale: section HBM<->host paging + async prefetch, the bounded baseframe
+selection pool (400 candidates at overlap_every=5), vis-based boundary and
+mapping selection, auto pair budgets / capacity re-bucketing, and the final
+eval pass. Iteration budgets are reduced (20 track / 30 map, TUM-class)
+so the run fits a bench window; subsystem coverage — not peak quality — is
+what this config gates. Metrics land in PARITY.md.
+"""
+
+scene_name = "longrun"
+seed = 7
+
+config = dict(
+    workdir="./experiments/Synthetic",
+    run_name=f"{scene_name}_{seed}",
+    seed=seed,
+    primary_device="tpu:0",
+    map_every=1,
+    keyframe_every=1,
+    mapping_window_size=3,
+    report_global_progress_every=1000,
+    eval_mode=False,
+    eval_every=5,
+    scene_radius_depth_ratio=3,
+    mean_sq_dist_method="projective",
+    gaussian_distribution="isotropic",
+    report_iter_progress=False,
+    load_checkpoint=False,
+    checkpoint_time_idx=0,
+    save_checkpoints=False,
+    checkpoint_interval=500,
+    use_wandb=False,
+    baseframe_every=40,
+    overlap_every=5,
+    far_depth_factor=1.6,
+    data=dict(
+        dataset_name="synthetic",
+        synthetic=dict(num_frames=2000, height=680, width=1200, seed=5,
+                       motion_scale=0.05, sensor=True),
+        sequence=scene_name,
+        desired_image_height=680,
+        desired_image_width=1200,
+        start=0,
+        end=-1,
+        stride=1,
+        num_frames=-1,
+    ),
+    tracking=dict(
+        use_gt_poses=False,
+        forward_prop=True,
+        num_iters=20,
+        use_sil_for_loss=True,
+        sil_thres=0.99,
+        use_l1=True,
+        ignore_outlier_depth_loss=True,
+        visualize_tracking_loss=False,
+        frustum=True,
+        onlybase_overlap=True,
+        edge=20,
+        p2p_method="sum",
+        keyframe_thresh=0.5,
+        kf_depth_thresh=0.01,
+        earliest_thres=0.6,
+        lower_earliest_thres_percent=0.8,
+        topk_base=3,
+        vis_mask_thres=0.02,
+        loss_weights=dict(im=0.5, depth=1.0),
+        lrs=dict(
+            means3D=0.0, rgb_colors=0.0, unnorm_rotations=0.0,
+            logit_opacities=0.0, log_scales=0.0,
+            cam_unnorm_rots=0.002, cam_trans=0.004,
+        ),
+    ),
+    mapping=dict(
+        num_iters=30,
+        add_new_gaussians=True,
+        sil_thres=0.5,
+        use_l1=True,
+        use_sil_for_loss=False,
+        ignore_outlier_depth_loss=False,
+        loss_weights=dict(im=0.5, depth=1.0),
+        lrs=dict(
+            means3D=0.0, rgb_colors=0.0025, unnorm_rotations=0.0,
+            logit_opacities=0.05, log_scales=0.001,
+            cam_unnorm_rots=1e-8, cam_trans=1e-7,
+        ),
+        fixed_lrs=dict(
+            means3D=0, rgb_colors=0, unnorm_rotations=0,
+            logit_opacities=0, log_scales=0,
+            cam_unnorm_rots=0.0, cam_trans=0.0,
+        ),
+        prune_gaussians=False,
+        use_gaussian_splatting_densification=False,
+    ),
+    viz=dict(render_mode="color"),
+    tpu=dict(span_cap=2, max_pairs_per_tile=512, blend_chunk=128),
+)

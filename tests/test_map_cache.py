@@ -106,12 +106,14 @@ class TestRenderBinned:
         kfc = build_kf_cache(params, active, quat, trans, CAM, span_cap=2,
                              max_pairs_per_tile=MPT)
         got = render_binned(pack_fields8(params), kfc, CAM)
+        # atol covers the kernel's MXU quadratic-form expansion (reordered
+        # f32 math vs the generic renderer; see test_track_cache)
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
-                                   atol=1e-5)
+                                   atol=5e-5)
         np.testing.assert_allclose(np.asarray(got.depth),
-                                   np.asarray(ref.depth), atol=1e-5)
+                                   np.asarray(ref.depth), atol=5e-5)
         np.testing.assert_allclose(np.asarray(got.silhouette),
-                                   np.asarray(ref.silhouette), atol=1e-5)
+                                   np.asarray(ref.silhouette), atol=5e-5)
 
     def test_global_matches_concat_render(self):
         fixed, f_active = scene(n=150, seed=6)

@@ -42,12 +42,15 @@ class TestTrackCache:
                                   span_cap=3, max_pairs_per_tile=256,
                                   chunk=128)
         got = render_cached(cache, quat, trans, CAM, chunk=128)
+        # atol covers the kernel's MXU quadratic-form expansion: power is
+        # evaluated as phi @ coef (reordered f32 math vs the generic
+        # renderer's dx/dy chain), shifting composited values ~2e-5
         np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
-                                   atol=1e-5)
+                                   atol=5e-5)
         np.testing.assert_allclose(np.asarray(got.depth),
-                                   np.asarray(ref.depth), atol=1e-5)
+                                   np.asarray(ref.depth), atol=5e-5)
         np.testing.assert_allclose(np.asarray(got.silhouette),
-                                   np.asarray(ref.silhouette), atol=1e-5)
+                                   np.asarray(ref.silhouette), atol=5e-5)
 
     def test_close_at_perturbed_pose(self):
         """Millimeter pose deltas: cached render stays visually identical."""
@@ -88,11 +91,14 @@ class TestTrackCache:
             return jnp.sum((r.im - target) ** 2)
 
         gq2, gt2 = jax.grad(loss_generic, argnums=(0, 1))(quat, trans)
-        # tolerance covers the splat backward's moment-expansion rounding
-        # (pixel reductions via phi^T @ g_power; ~1e-3 relative on small
-        # components — see pallas_splat._bwd_kernel)
-        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), rtol=2e-3)
-        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2), rtol=4e-3,
+        # tolerance covers the splat kernel's moment-expansion rounding:
+        # BOTH the forward quadratic (power via phi @ coef) and the backward
+        # pixel reductions (phi^T @ g_power) reorder f32 math vs the generic
+        # renderer, and the pose gradient is a cancellation-heavy sum over
+        # ~1e5 slots, so small components drift ~1% relative — see
+        # pallas_splat._splat_weights/_bwd_kernel
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gt2), rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(gq2), rtol=2e-2,
                                    atol=1e-3)
 
 

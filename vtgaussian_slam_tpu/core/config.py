@@ -82,6 +82,12 @@ def prepare_config(config: dict) -> dict:
     tpu.setdefault("max_pairs_per_tile", 512)
     tpu.setdefault("auto_pair_budget", True)
     tpu.setdefault("blend_chunk", 128)
+    # rebuild cadence (frames) of the frozen global-consistency binning —
+    # the MapCacheStore staleness policy applied to the global term; 1 =
+    # rebuild every mapping phase (exact), larger trades ~0.2 s/frame of
+    # binning for gaussians densified since the build missing the global
+    # term (not the local terms) for <= K-1 frames
+    tpu.setdefault("global_cache_refresh_every", 4)
     tpu.setdefault("baseframe_capacity_quantum", 64)
     # selection candidate-pool depths are stored subsampled by this stride
     # so the pool's device memory grows /stride^2 with sequence length

@@ -89,6 +89,13 @@ def _traj_w2c(quats, trans, t):
 
 
 @jax.jit
+def _stage_jit(color_hwc, depth_hwc):
+    c = jnp.transpose(color_hwc, (2, 0, 1)).astype(jnp.float32) / 255.0
+    d = jnp.transpose(depth_hwc, (2, 0, 1)).astype(jnp.float32)
+    return c, d
+
+
+@jax.jit
 def _ring_set(buf, i, value):
     return buf.at[i].set(value)
 
@@ -367,16 +374,24 @@ class VTGaussianSLAM:
             # outside the fused optimization jits
             "t_dataset": 0.0, "t_densify": 0.0, "t_map_store": 0.0,
             "t_global_concat": 0.0, "t_global_cache": 0.0,
-            "t_track_cache": 0.0, "t_select": 0.0,
+            "t_track_cache": 0.0, "t_select": 0.0, "t_stage": 0.0,
+            # pose init + far-depth + boundary selection (t_select subset)
+            "t_track_prep": 0.0,
         }
 
         self._init_first_frame(color0, depth0)
 
     # ------------------------------------------------------------------
     def _stage(self, color_np, depth_np) -> Frame:
-        color = jnp.asarray(np.transpose(color_np, (2, 0, 1)) / 255.0,
-                            jnp.float32)
-        depth = jnp.asarray(np.transpose(depth_np, (2, 0, 1)), jnp.float32)
+        """Upload a frame raw (HWC, native dtype) and normalize/transpose
+        ON DEVICE — the host-side `transpose(...)/255.0` materialized a
+        strided float64 copy of every 680x1200 frame on the single host
+        core."""
+        if color_np.dtype != np.uint8:
+            color_np = np.asarray(color_np, np.float32)
+        color, depth = _stage_jit(jnp.asarray(color_np),
+                                  jnp.asarray(np.asarray(depth_np,
+                                                         np.float32)))
         return Frame(color=color, depth=depth)
 
     def _edge_mask_for(self, color_np, width, height) -> np.ndarray:
@@ -650,6 +665,7 @@ class VTGaussianSLAM:
         """Full tracking for one frame; commits the best pose into traj."""
         cfg = self.config
         tr = cfg["tracking"]
+        t_host0 = time.time()
         self._update_pair_budget()
         bf_idx = t // self.bfe
         idx_in = t % self.bfe
@@ -735,6 +751,7 @@ class VTGaussianSLAM:
             cand_secs, overlap_frame = [min(bf_idx, len(self.sections) - 1)], None
 
         t_start = time.time()
+        self.stats["t_track_prep"] += t_start - t_host0
         results = []
         if boundary and bf_idx >= 1 and self.dataset_name in ("tum", "scannet"):
             # phase 1: optimize each hypothesis for 31 iters by plain loss
@@ -1022,12 +1039,32 @@ class VTGaussianSLAM:
                 frame_ids=ids, count=jnp.asarray(count, jnp.int32))
             if use_global:
                 t0 = time.time()
-                bq, bt = _traj_read(self.traj.quats, self.traj.trans, start)
-                gcache = build_global_cache(
-                    fixed_params, fixed_active, sec.params, active, bq, bt,
-                    self.cam, span_cap=span_cap, max_pairs_per_tile=mpt,
-                    tile_pad=self.tile_pad)
-                jax.block_until_ready(gcache.counts)
+                # staleness policy mirrors MapCacheStore: the binning of
+                # [fixed prefix + section] at the (fixed) base-keyframe pose
+                # only drifts through scale updates and post-build densified
+                # gaussians, so rebuild every tpu.global_cache_refresh_every
+                # frames instead of every frame (new gaussians miss the
+                # global term — NOT the local terms — for <= K-1 frames;
+                # the term itself fires only on base-frame draws,
+                # /root/reference/src/vtgaussian_slam.py:2595-2603)
+                K = int(cfg["tpu"].get("global_cache_refresh_every", 4))
+                gkey = (self.fixed_section_ids, sec.capacity,
+                        fixed_params.means3d.shape[0], mpt, start)
+                cached = getattr(self, "_gcache", None)
+                if (cached is None or self._gcache_key != gkey
+                        or self._gcache_age >= K):
+                    bq, bt = _traj_read(self.traj.quats, self.traj.trans,
+                                        start)
+                    gcache = build_global_cache(
+                        fixed_params, fixed_active, sec.params, active, bq,
+                        bt, self.cam, span_cap=span_cap,
+                        max_pairs_per_tile=mpt, tile_pad=self.tile_pad)
+                    jax.block_until_ready(gcache.counts)
+                    self._gcache, self._gcache_key = gcache, gkey
+                    self._gcache_age = 1
+                else:
+                    gcache = cached
+                    self._gcache_age += 1
                 self.stats["t_global_cache"] += time.time() - t0
             else:
                 gcache = dummy_global_cache(sec.params)
@@ -1113,7 +1150,10 @@ class VTGaussianSLAM:
         t0 = time.time()
         color_np, depth_np, _, gt_pose = self.dataset[t]
         self.stats["t_dataset"] += time.time() - t0
+        t0 = time.time()
         frame = self._stage(color_np, depth_np)
+        jax.block_until_ready(frame.color)
+        self.stats["t_stage"] += time.time() - t0
         gt_w2c = np.linalg.inv(np.asarray(gt_pose, np.float64))
         self.gt_w2c.append(gt_w2c)
         bf_idx = t // self.bfe

@@ -96,7 +96,23 @@ class CameraTrajectory:
 
 
 def round_capacity(n: int, quantum: int = DEFAULT_CAPACITY_QUANTUM) -> int:
-    return max(quantum, -(-n // quantum) * quantum)
+    """Capacity bucket for n gaussians: a GEOMETRIC ladder (x1.25 steps,
+    quantum-aligned) rather than the next quantum multiple.
+
+    Every distinct capacity is a fresh XLA shape, and the binning builders
+    (core/map_cache.build_kf_cache / build_global_cache) cost ~45-60 s of
+    compile each at the Replica room0 working set — additive 32k steps made
+    nearly every section boundary a novel shape (measured ~130 s of
+    recompiles per boundary). The ladder bounds the distinct capacities a
+    run can see to ~log1.25(N/quantum) values shared by ALL sections (and by
+    the fixed-section concats), so compiles amortize across sections and
+    across runs via the persistent cache. Worst-case padding waste is 25%;
+    padded rows cost only row-bound gather/Adam time, far below the compile
+    tax they replace."""
+    cap = quantum
+    while cap < n:
+        cap = -(-int(cap * 1.25) // quantum) * quantum
+    return cap
 
 
 def init_section(

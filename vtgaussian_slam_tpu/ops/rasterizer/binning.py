@@ -3,9 +3,10 @@
 TPU-native replacement for the CUDA rasterizer's duplicate-key emission +
 radix sort stage (SURVEY.md 2.9): every Gaussian owns a fixed budget of
 span_cap^2 (tile, depth, gaussian) pair slots (unused slots carry a sentinel
-tile that sorts to the end), one lexicographic `lax.sort` by (tile, depth)
-replaces the 64-bit radix sort, and per-tile windows of the sorted order form
-a static-shape [n_tiles, max_pairs_per_tile] gather table.
+tile that sorts to the end), one stable `lax.sort` of a fused int32
+(tile << depth_bits | quantized_depth) key replaces the 64-bit radix sort,
+and per-tile windows of the sorted order form a static-shape
+[n_tiles, max_pairs_per_tile] gather table.
 
 `with_inverse=True` additionally inverts the slot permutation: for every
 (gaussian, slot) pair it records the flattened table position it landed in
@@ -66,17 +67,38 @@ def tile_rects(proj: ProjectedGaussians, tile: int, span_cap: int,
 def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
                   tiles_x: int, tiles_y: int, mpt: int,
                   with_inverse: bool = False) -> BinnedPairs:
-    """Bin projected Gaussians into per-tile depth-sorted gather tables."""
+    """Bin projected Gaussians into per-tile depth-sorted gather tables.
+
+    The (tile, depth) order is established by ONE stable single-key sort of
+    a fused int32 key `tile << depth_bits | quantized_depth` plus the pair
+    id. XLA's TPU sort compiles a per-operand-per-key merge network whose
+    build time at SLAM sizes is brutal (a 3-operand 2-key sort at the
+    Replica room0 working set costs ~45-60 s of COMPILE; it dominated
+    section-boundary stalls) — fusing the key halves the operand count and
+    drops the second key comparison. Depth is quantized to the bits left
+    under the tile id (>= 18 at ScanNet++ tile counts, <= 0.04 mm over the
+    frame's depth range): far finer than alpha-blend order sensitivity, and
+    ties keep pair-id order (stable sort), so the order is deterministic."""
     N = proj.mean2d.shape[0]
     n_tiles = tiles_x * tiles_y
     s2 = span_cap * span_cap
     p_max = N * s2
+    # static bit split: tiles in the high bits, quantized depth below
+    depth_bits = min(31 - max(int(n_tiles).bit_length(), 1), 21)
+    qmax = (1 << depth_bits) - 1
 
     rx0, ry0, span_x, span_y, valid = tile_rects(
         proj, tile, span_cap, tiles_x, tiles_y)
 
-    sentinel = jnp.int32(n_tiles)
-    depth_key = jnp.where(jnp.isfinite(proj.depth), proj.depth, 3.4e38)
+    sentinel = jnp.int32(n_tiles << depth_bits)
+    d = proj.depth
+    dmin = jnp.min(jnp.where(valid, d, jnp.inf))
+    dmax = jnp.max(jnp.where(valid, d, -jnp.inf))
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    dmax = jnp.where(jnp.isfinite(dmax), dmax, 1.0)
+    scale = qmax / jnp.maximum(dmax - dmin, 1e-9)
+    qd = jnp.clip(jnp.where(jnp.isfinite(d), (d - dmin) * scale, qmax),
+                  0, qmax).astype(jnp.int32)
     px, py = proj.mean2d[:, 0], proj.mean2d[:, 1]
     # circle-vs-tile cut: the rect over-includes ~25-30% of pairs whose disc
     # never reaches the tile; those blend to exactly zero through the blend
@@ -95,20 +117,19 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
         dxp = px - jnp.clip(px, tx0, tx0 + (tile - 1))
         dyp = py - jnp.clip(py, ty0, ty0 + (tile - 1))
         ok = ok & (dxp * dxp + dyp * dyp <= r2)
-        slot_tiles.append(
-            jnp.where(ok, (ry0 + dy) * tiles_x + rx0 + dx, sentinel))
-    pair_tile = jnp.stack(slot_tiles).reshape(-1)              # (p_max,)
-    pair_depth = jnp.broadcast_to(depth_key, (s2, N)).reshape(-1)
+        slot_tiles.append(jnp.where(
+            ok, (((ry0 + dy) * tiles_x + rx0 + dx) << depth_bits) | qd,
+            sentinel))
+    pair_key = jnp.stack(slot_tiles).reshape(-1)               # (p_max,)
     pair_id = jnp.arange(p_max, dtype=jnp.int32)               # s * N + g
 
-    # lexicographic (tile, depth) sort; the pair id rides along and encodes
-    # both the gaussian (id % N) and, for the inverse map, the slot (id // N)
-    s_tile, _, s_id = jax.lax.sort((pair_tile, pair_depth, pair_id),
-                                   num_keys=2)
+    # one stable fused-key sort; the pair id rides along and encodes both
+    # the gaussian (id % N) and, for the inverse map, the slot (id // N)
+    s_key, s_id = jax.lax.sort((pair_key, pair_id), num_keys=1)
 
-    tid = jnp.arange(n_tiles, dtype=jnp.int32)
-    start = jnp.searchsorted(s_tile, tid, side="left").astype(jnp.int32)
-    end = jnp.searchsorted(s_tile, tid, side="right").astype(jnp.int32)
+    tid = jnp.arange(n_tiles + 1, dtype=jnp.int32) << depth_bits
+    edges = jnp.searchsorted(s_key, tid, side="left").astype(jnp.int32)
+    start, end = edges[:-1], edges[1:]
     counts = jnp.minimum(end - start, mpt)
     j = jnp.arange(mpt, dtype=jnp.int32)
     window = jnp.minimum(start[:, None] + j[None, :], p_max - 1)
@@ -119,12 +140,14 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
         # table position of sorted rank r: its tile's window slot, if within
         # the per-tile budget and not the sentinel region
         rank = jnp.arange(p_max, dtype=jnp.int32)
-        in_image = s_tile < n_tiles
-        tile_safe = jnp.minimum(s_tile, n_tiles - 1)
+        in_image = s_key < sentinel
+        tile_safe = jnp.minimum(s_key >> depth_bits, n_tiles - 1)
         off = rank - start[tile_safe]
         pos = jnp.where(in_image & (off < mpt), tile_safe * mpt + off, -1)
-        # invert the permutation: one more sort keyed by original pair id
-        _, pos_by_pair = jax.lax.sort((s_id, pos), num_keys=1)
+        # invert the permutation with a unique-index scatter (a second sort
+        # keyed by pair id costs another full merge-network COMPILE)
+        pos_by_pair = jnp.full((p_max,), -1, jnp.int32).at[s_id].set(
+            pos, unique_indices=True)
         inv_pos = pos_by_pair.reshape(s2, N).T                 # (N, s2)
 
     return BinnedPairs(tab=tab, counts=counts, inv_pos=inv_pos)

@@ -86,13 +86,6 @@ def pad_tiles(n_tiles: int) -> int:
     return -(-n_tiles // BLOCK) * BLOCK
 
 
-def _pixel_coords(tile_y, tile_x, dtype):
-    ly = jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) // TILE
-    lx = jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) % TILE
-    return ((tile_x * TILE + lx).astype(dtype),
-            (tile_y * TILE + ly).astype(dtype))
-
-
 def _project_chunk(rec, cp_ref):
     """Per-slot (1, chunk) projection pipeline; returns everything the
     kernels need. Mirrors projection.project_gaussians (isotropic path) and
@@ -155,7 +148,22 @@ def _tri_excl(chunk, dtype):
     return (ri < ci).astype(dtype)
 
 
-def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri,
+def _phi_local(dtype):
+    """(TPX, 8) tile-LOCAL pixel-moment basis [lx^2 lx*ly ly^2 lx ly 1 0 0].
+
+    Shared by the forward quadratic-form evaluation (_splat_weights) and the
+    backward's per-slot pixel reductions — both contract against it on the
+    MXU instead of burning VPU issue on (TPX, chunk) elementwise panels."""
+    lxl = (jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) % TILE
+           ).astype(dtype)
+    lyl = (jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) // TILE
+           ).astype(dtype)
+    return jnp.concatenate(
+        [lxl * lxl, lxl * lyl, lyl * lyl, lxl, lyl, jnp.ones_like(lxl),
+         jnp.zeros((TPX, 2), dtype)], axis=1)
+
+
+def _splat_weights(p, rec_rgb, phi, tox, toy, lane, j0, count, T, chunk, tri,
                    precision):
     """Shared fwd-walk step: alpha, transmittance chain, blend weights.
 
@@ -163,16 +171,41 @@ def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri,
     cumsum as one proper (TPX, chunk) @ (chunk, chunk) MXU matmul (`tri`):
     the kernels are VPU-issue-bound and this replaces the 7-step shifted
     cumprod chain (measured 17.0 -> 13.9 ms fwd at the Replica working set;
-    log1p/exp roundtrip error ~1e-4 relative on composited channels)."""
-    dx = px - p["m2x"]
-    dy = py - p["m2y"]
-    power = (-0.5 * (p["ca"] * dx * dx + p["cc"] * dy * dy)
-             - p["cb"] * dx * dy)
+    log1p/exp roundtrip error ~1e-4 relative on composited channels).
+
+    The Gaussian quadratic form itself is ALSO one MXU matmul: power[p, k] =
+    phi[p] . coef[:, k] with per-slot coefficients of the expanded quadratic
+    in tile-local pixel coords — replacing the (TPX, chunk) dx/dy/power
+    elementwise chain (~7 panels) with ~10 cheap (1, chunk) rows. The
+    expansion cancels O(|a| mxl^2) terms, so this one contraction runs at
+    HIGHEST (f32-exact) MXU precision regardless of the fast-path bf16 mode:
+    at bf16, 0.4% of |a| mxl^2 ~ 2000 would be alpha-breaking; at f32 the
+    expansion error is ~1e-7 relative (local coords <= span*16 + r)."""
+    qa = -0.5 * p["ca"]
+    qb = -p["cb"]
+    qc = -0.5 * p["cc"]
+    mxl = p["m2x"] - tox
+    myl = p["m2y"] - toy
+    zero = jnp.zeros_like(qa)
+    coef = jnp.concatenate(
+        [qa, qb, qc,
+         -2.0 * qa * mxl - qb * myl,
+         -2.0 * qc * myl - qb * mxl,
+         qa * mxl * mxl + qb * mxl * myl + qc * myl * myl,
+         zero, zero], axis=0)                            # (8, chunk)
+    power = jax.lax.dot_general(
+        phi, coef, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=coef.dtype)               # (TPX, chunk)
     expp = jnp.exp(power)
     alpha_raw = p["op"] * expp
     clamped = alpha_raw > ALPHA_MAX
     alpha = jnp.minimum(ALPHA_MAX, alpha_raw)
-    keep = (power <= 0) & (alpha >= ALPHA_MIN) & (lane + j0 < count)
+    # power > 0 is the CUDA rasterizer's non-PD-garbage cut; true power is
+    # <= 0 for a PD conic, but the MXU expansion carries ~1e-7 * |qa mxl^2|
+    # absolute error (~2e-4), which would flip the test exactly at splat
+    # CENTERS (power ~ 0, the max-alpha pixel) — hence the epsilon.
+    keep = (power <= 1e-3) & (alpha >= ALPHA_MIN) & (lane + j0 < count)
     alpha = jnp.where(keep, alpha, 0.0)
 
     lg = jnp.log1p(-alpha)
@@ -197,7 +230,7 @@ def _splat_weights(p, rec_rgb, px, py, lane, j0, count, T, chunk, tri,
     cols = jnp.concatenate(
         [rec_rgb, c, jnp.ones_like(z), c * c,
          jnp.zeros((2, chunk), z.dtype)], axis=0)       # (NCH, chunk)
-    return dict(dx=dx, dy=dy, power=power, expp=expp, clamped=clamped,
+    return dict(clamped=clamped,
                 alpha=alpha, keep=keep, T_after=T_after, T_in=T_in,
                 include=include, weight=weight, cols=cols, z0=z0, zc=c)
 
@@ -209,12 +242,14 @@ def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
     f32 = out_ref.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     tri = _tri_excl(chunk, f32)
+    phi = _phi_local(f32)
 
     for b in range(block):
         tl = blk * block + b
         count = count_ref[tl]
         t = tl + meta_ref[1]              # global tile id (sharded grids)
-        px, py = _pixel_coords(t // tiles_x, t % tiles_x, f32)
+        tox = ((t % tiles_x) * TILE).astype(f32)
+        toy = ((t // tiles_x) * TILE).astype(f32)
         n_chunks = pl.cdiv(count, chunk)
 
         def cond(carry):
@@ -226,8 +261,8 @@ def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
             j0 = c * chunk
             rec = slots_ref[b, :, pl.ds(j0, chunk)]
             p = _project_chunk(rec, cp_ref)
-            w = _splat_weights(p, rec[5:8, :], px, py, lane, j0, count, T,
-                               chunk, tri, FWD_PRECISION)
+            w = _splat_weights(p, rec[5:8, :], phi, tox, toy, lane, j0,
+                               count, T, chunk, tri, FWD_PRECISION)
             # accum (NCH, TPX): channels on sublanes, pixels on lanes
             d = jax.lax.dot_general(
                 w["cols"], w["weight"], (((1,), (1,)), ((), ())),
@@ -273,19 +308,14 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
     ci_ = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tri_incl = (ri_ <= ci_).astype(f32)
 
-    # tile-LOCAL pixel-moment basis: phi[p] = [lx^2 lx*ly ly^2 lx ly 1 0 0].
-    # Every per-slot pixel reduction of the quadratic-form chain becomes ONE
-    # MXU contraction phi^T @ g_power instead of ~5 masked (TPX, chunk)
-    # multiply-reduce panels — the kernels are VPU-issue-bound, so moving
-    # these onto the (otherwise idle) MXU is the main win. Local coords keep
-    # the expansion's cancellation error ~1e-6 relative (coords <= 16 + r).
-    lxl = (jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) % TILE
-           ).astype(f32)
-    lyl = (jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0) // TILE
-           ).astype(f32)
-    phi = jnp.concatenate(
-        [lxl * lxl, lxl * lyl, lyl * lyl, lxl, lyl, jnp.ones_like(lxl),
-         jnp.zeros((TPX, 2), f32)], axis=1)              # (TPX, 8)
+    # tile-LOCAL pixel-moment basis (shared with the forward quadratic,
+    # _phi_local): every per-slot pixel reduction of the quadratic-form
+    # chain becomes ONE MXU contraction phi^T @ g_power instead of ~5 masked
+    # (TPX, chunk) multiply-reduce panels — the kernels are VPU-issue-bound,
+    # so moving these onto the (otherwise idle) MXU is the main win. Local
+    # coords keep the expansion's cancellation error ~1e-6 relative
+    # (coords <= 16 + r).
+    phi = _phi_local(f32)
 
     if mode == "pose":
         red = jnp.zeros((1, 12), f32)
@@ -295,7 +325,6 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
         tl = blk * block + b
         count = count_ref[tl]
         t = tl + meta_ref[1]
-        px, py = _pixel_coords(t // tiles_x, t % tiles_x, f32)
         tox = ((t % tiles_x) * TILE).astype(f32)
         toy = ((t // tiles_x) * TILE).astype(f32)
 
@@ -318,8 +347,8 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
             j0 = c * chunk
             rec = slots_ref[b, :, pl.ds(j0, chunk)]
             p = _project_chunk(rec, cp_ref)
-            w = _splat_weights(p, rec[5:8, :], px, py, lane, j0, count, T,
-                               chunk, tri, BWD_PRECISION)
+            w = _splat_weights(p, rec[5:8, :], phi, tox, toy, lane, j0,
+                               count, T, chunk, tri, BWD_PRECISION)
             ca, cb, cc = p["ca"], p["cb"], p["cc"]
 
             # cotangent rows pre-rotated for the CENTERED depth channels

@@ -12,6 +12,19 @@ import os
 def setup_jax(cache_dir: str | None = None) -> None:
     import jax
 
+    # Honor an explicit JAX_PLATFORMS=cpu request: the environment's TPU
+    # plugin registration hook (sitecustomize) re-points jax_platforms at
+    # the accelerator AFTER env parsing, so a user-level env override is
+    # silently lost — and a CPU-intended run then blocks on accelerator
+    # init. Re-assert the env value through jax.config (the same thing
+    # tests/conftest.py does).
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat and "tpu" not in plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     if cache_dir is None:
         cache_dir = os.environ.get(
             "VTGS_JAX_CACHE",

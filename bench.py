@@ -76,8 +76,8 @@ def main():
     t_setup = time.time()
     engine.process_frame_zero()
     jax.block_until_ready(engine.sections[-1].params.means3d)
-    print(f"[bench] frame 0 (map compile): {time.time() - t_setup:.1f}s",
-          file=sys.stderr)
+    warmup_s = time.time() - t_setup
+    print(f"[bench] frame 0 (map compile): {warmup_s:.1f}s", file=sys.stderr)
 
     BREAK = ("tracking_jit_time_sum", "mapping_jit_time_sum", "t_dataset",
              "t_densify", "t_map_store", "t_global_concat", "t_global_cache",
@@ -120,6 +120,10 @@ def main():
         "value": round(ips, 2),
         "unit": "iters/sec",
         "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 3),
+        # compile-cost telemetry (VERDICT r2 item 7): first-frame warmup and
+        # the frames the 3x-median filter excluded as re-bucket compiles
+        "warmup_s": round(warmup_s, 1),
+        "compile_frames_excluded": [(r[0], round(r[1], 1)) for r in skipped],
     }))
 
 

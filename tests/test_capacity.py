@@ -1,0 +1,43 @@
+"""Geometric capacity ladder (models/gaussians.round_capacity).
+
+The ladder exists to bound XLA shape diversity: every distinct capacity is
+a fresh compile of the binning builders (~45-60 s each at the Replica
+working set — see ROADMAP.md round-3 notes), so capacities must come from a
+small shared set rather than stepping by one quantum."""
+import numpy as np
+
+from vtgaussian_slam_tpu.models.gaussians import (DEFAULT_CAPACITY_QUANTUM,
+                                                  round_capacity)
+
+
+class TestCapacityLadder:
+    def test_covers_and_bounds_waste(self):
+        q = DEFAULT_CAPACITY_QUANTUM
+        for n in [1, q - 1, q, q + 1, 100_000, 816_000, 900_000, 2_000_000]:
+            cap = round_capacity(n, q)
+            assert cap >= n
+            assert cap % q == 0
+            # waste bounded by one geometric step plus quantum rounding
+            assert cap <= max(q, int(n * 1.25) + q), (n, cap)
+
+    def test_idempotent_and_monotone(self):
+        q = 4096
+        prev = 0
+        ladder = set()
+        for n in range(1, 300_000, 7919):
+            cap = round_capacity(n, q)
+            assert cap >= prev  # monotone in n
+            assert round_capacity(cap, q) == cap  # ladder values are fixed
+            prev = cap
+            ladder.add(cap)
+        # few distinct shapes across a 300k range (the whole point)
+        assert len(ladder) <= 20, sorted(ladder)
+
+    def test_shared_across_similar_sections(self):
+        # sections seeded from similar views land on the SAME capacity, so
+        # one compile serves all of them
+        q = DEFAULT_CAPACITY_QUANTUM
+        caps = {round_capacity(n, q)
+                for n in np.random.default_rng(0).integers(
+                    800_000, 980_000, 50)}
+        assert len(caps) <= 2, caps

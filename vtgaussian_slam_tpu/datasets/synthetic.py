@@ -221,7 +221,9 @@ class SyntheticRoomDataset:
         zs = np.maximum(depth[..., 0], 1e-6)
         holes = np.hypot(gx, gy) * self.fx / zs > sn["edge_hole_slope"]
         if sn["hole_rate"] > 0:
-            cells = rng.standard_normal((max(H // 16, 1), max(W // 16, 1)))
+            # ceil-divide so the tiled blob mask COVERS the frame for any
+            # H/W (120 or 680 are not 16-multiples), then crop
+            cells = rng.standard_normal((-(-H // 16), -(-W // 16)))
             thresh = np.quantile(cells, 1.0 - sn["hole_rate"],
                                  method="higher")
             holes |= np.kron(cells >= thresh, np.ones((16, 16),

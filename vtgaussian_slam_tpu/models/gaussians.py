@@ -20,6 +20,7 @@ Parameter semantics match the reference exactly:
 """
 from __future__ import annotations
 
+import functools as _functools
 from typing import Sequence
 
 import jax
@@ -260,6 +261,7 @@ def split_section(fused: Section, sizes: Sequence[int],
     return out
 
 
+@_functools.partial(jax.jit, donate_argnums=(0,))
 def append_gaussians(
     section: Section,
     new_points: jnp.ndarray,       # (M, 3) padded candidate points
@@ -268,7 +270,11 @@ def append_gaussians(
     keep: jnp.ndarray,             # (M,) bool — which candidates are real
     timestep,
 ) -> Section:
-    """Scatter-append new Gaussians into the padded tail, inside jit.
+    """Scatter-append new Gaussians into the padded tail, as ONE jit with
+    the section buffers DONATED — eager dispatch re-allocated every (cap, .)
+    buffer per densify call (~100 MB of copies per frame at room0 scale);
+    donation lets XLA scatter in place. Callers rebind the returned Section
+    and must not reuse the argument.
 
     Parity: densification insert (/root/reference/src/vtgaussian_slam.py:798-808)
     including the stat resets: `means2D_gradient_accum`, `denom`,

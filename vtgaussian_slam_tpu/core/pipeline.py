@@ -115,7 +115,7 @@ def _pose_from_rel(quats, trans, t, rel_c2w):
 
 def auto_pair_budget(n_active: int, n_tiles: int, span_cap: int,
                      base: int, tile_cap_entries: int = 1 << 23,
-                     hard_cap: int = 8192) -> int:
+                     hard_cap: int = 8192, boost: int = 1) -> int:
     """Power-of-two-bucketed `max_pairs_per_tile` for the current section
     density.
 
@@ -128,13 +128,20 @@ def auto_pair_budget(n_active: int, n_tiles: int, span_cap: int,
     doubled from `base` in power-of-two buckets (jit signatures change only
     at bucket boundaries, like capacity quanta). Capped so the Pallas record
     buffer (n_tiles x 16 x mpt floats) stays bounded.
+
+    The open-loop /12 estimate is scale-dependent (a 120x160 rotating scene
+    saturates near avg/2 and death-spiraled at the formula budget), so the
+    engine CLOSES THE LOOP: every track-cache build measures the truncated-
+    tile fraction, and sustained truncation raises `boost` (pow2, sticky)
+    until builds come back clean — see _run_track / _update_pair_budget.
     """
     # tiny images (few tiles) concentrate nearly the whole cloud in every
     # tile, so saturation arrives much deeper than the /12 steady-state
     # estimate (smoke scene: 12 tiles need avg/4; validated at PSNR 42.5
     # truncation-free vs 34.5 truncated at /12)
     divisor = 12 if n_tiles >= 64 else 4
-    need = (n_active * span_cap * span_cap) // (divisor * max(n_tiles, 1))
+    need = boost * (n_active * span_cap * span_cap) // (
+        divisor * max(n_tiles, 1))
     cap = max(base, min(hard_cap, tile_cap_entries // max(n_tiles, 1)))
     mpt = base
     while mpt < need and mpt * 2 <= cap:
@@ -239,6 +246,7 @@ class VTGaussianSLAM:
             self.num_frames = len(self.dataset)
         self.bfe = cfg["baseframe_every"]
         self.quantum = cfg["tpu"]["capacity_quantum"]
+        self._mpt_boost = 1   # closed-loop pair-budget feedback (_run_track)
         # Pallas blend kernel on real accelerators; XLA blend on CPU (where
         # the kernel would run in the slow interpreter)
         use_pallas = cfg["tpu"].get("use_pallas",
@@ -579,6 +587,14 @@ class VTGaussianSLAM:
                     (np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
                 self.stats["tile_truncation_frac_max"] = max(
                     self.stats["tile_truncation_frac_max"], trunc)
+                # closed-loop pair budget (see auto_pair_budget): >5% of
+                # tiles at the cap means silhouettes are lying; raise the
+                # budget target for the NEXT _update_pair_budget (mapping of
+                # this frame already picks it up)
+                if trunc > 0.05 and self._mpt_boost < 64:
+                    self._mpt_boost *= 2
+                    print(f"[auto_pair_budget] truncation {trunc:.2f} at "
+                          f"mpt={mpt}; boost -> {self._mpt_boost}")
                 t_jit = time.time()
                 state, im_h, d_h = self._track_cached_fn(
                     cache, state, frame, aux_mask, p2p_t, self.cam,
@@ -642,10 +658,12 @@ class VTGaussianSLAM:
         tiles = (-(-self.cam.width // tile)) * (-(-self.cam.height // tile))
         n = max(int(s.n_active) for s in self.sections)
         span = cfg["span_cap"]
-        mpt = auto_pair_budget(n, tiles, span, cfg["max_pairs_per_tile"])
+        mpt = auto_pair_budget(n, tiles, span, cfg["max_pairs_per_tile"],
+                               boost=self._mpt_boost)
         map_mpt = auto_pair_budget(
             n, tiles, span,
-            cfg.get("map_max_pairs_per_tile", cfg["max_pairs_per_tile"]))
+            cfg.get("map_max_pairs_per_tile", cfg["max_pairs_per_tile"]),
+            boost=self._mpt_boost)
 
         def upd(bk, v):
             d = dict(bk)

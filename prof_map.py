@@ -69,7 +69,8 @@ def main():
     Tp, mpt = kfc.tab.shape
     print(f"N={n} cap={cap} Tp={Tp} mpt={mpt} P={Tp*mpt}")
 
-    chunk = 256 if mpt % 256 == 0 else 128
+    chunk = (512 if mpt % 512 == 0 else
+             256 if mpt % 256 == 0 else 128)  # = map_frame_binned's choice
     tiles_x = -(-cam.width // 16)
 
     # 1. slot gather

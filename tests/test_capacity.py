@@ -33,6 +33,19 @@ class TestCapacityLadder:
         # few distinct shapes across a 300k range (the whole point)
         assert len(ladder) <= 20, sorted(ladder)
 
+    def test_budget_boost_scales_target(self):
+        # closed-loop pair budget (core/pipeline.auto_pair_budget): the
+        # boost multiplies the saturation-depth target, so a measured-
+        # truncation doubling reaches a bucket the open-loop estimate
+        # missed (the 120x160 sensor-scene death spiral, ROADMAP round 3)
+        from vtgaussian_slam_tpu.core.pipeline import auto_pair_budget
+        base = auto_pair_budget(19_000, 80, 2, 256)
+        boosted = auto_pair_budget(19_000, 80, 2, 256, boost=8)
+        assert base == 256          # the open-loop estimate that spiraled
+        assert boosted >= 1024      # the measured-healthy budget
+        # boost never exceeds the per-tile entry cap
+        assert auto_pair_budget(10_000_000, 80, 3, 256, boost=64) <= 8192
+
     def test_shared_across_similar_sections(self):
         # sections seeded from similar views land on the SAME capacity, so
         # one compile serves all of them

@@ -247,6 +247,7 @@ class VTGaussianSLAM:
         self.bfe = cfg["baseframe_every"]
         self.quantum = cfg["tpu"]["capacity_quantum"]
         self._mpt_boost = 1   # closed-loop pair-budget feedback (_run_track)
+        self._boost_seen_mpt = 0  # budget level the boost last reacted to
         # Pallas blend kernel on real accelerators; XLA blend on CPU (where
         # the kernel would run in the slow interpreter)
         use_pallas = cfg["tpu"].get("use_pallas",
@@ -590,9 +591,16 @@ class VTGaussianSLAM:
                 # closed-loop pair budget (see auto_pair_budget): >5% of
                 # tiles at the cap means silhouettes are lying; raise the
                 # budget target for the NEXT _update_pair_budget (mapping of
-                # this frame already picks it up)
-                if trunc > 0.05 and self._mpt_boost < 64:
+                # this frame already picks it up). Boost at most once per
+                # budget level — a frame can build many caches (candidate
+                # hypotheses x rebin segments) all at the SAME stale mpt,
+                # and doubling per build would wind the sticky boost to the
+                # cap off one truncated frame.
+                if (trunc > 0.05 and self._mpt_boost < 64
+                        and self.config["tpu"].get("auto_pair_budget", True)
+                        and mpt >= self._boost_seen_mpt):
                     self._mpt_boost *= 2
+                    self._boost_seen_mpt = mpt * 2
                     print(f"[auto_pair_budget] truncation {trunc:.2f} at "
                           f"mpt={mpt}; boost -> {self._mpt_boost}")
                 t_jit = time.time()
@@ -996,20 +1004,6 @@ class VTGaussianSLAM:
         use_global = bf_idx != 0 and self.fixed_section_ids is not None
         sec = self._sec(bf_idx)
 
-        if use_global:
-            t0 = time.time()
-            fixed, _ = G.concat_sections(
-                [self._sec(i) for i in self.fixed_section_ids],
-                quantum=self.quantum)
-            fixed_params, fixed_active = fixed.params, fixed.active_mask()
-            self.stats["t_global_concat"] += time.time() - t0
-        else:
-            # 1-capacity dummy so jit signatures stay small
-            dummy = G.init_section(
-                jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.ones((1,)), 0, 1,
-                0.0, 1.0, isotropic=sec.params.isotropic)
-            fixed_params, fixed_active = dummy.params, dummy.active_mask()
-
         mlrs = mp["lrs"]
         # frozen-binning mapping path: valid whenever means3D and
         # unnorm_rotations have zero mapping lr (every reference config) and
@@ -1020,6 +1014,25 @@ class VTGaussianSLAM:
             and float(mlrs.get("unnorm_rotations", 0.0)) == 0.0
             and cfg["tpu"].get("map_binned",
                                jax.default_backend() != "cpu"))
+
+        def fixed_concat():
+            t0 = time.time()
+            fixed, _ = G.concat_sections(
+                [self._sec(i) for i in self.fixed_section_ids],
+                quantum=self.quantum)
+            self.stats["t_global_concat"] += time.time() - t0
+            return fixed.params, fixed.active_mask()
+
+        if use_global and not use_binned:
+            # the generic autodiff path consumes the concat every frame;
+            # the binned path defers it to global-cache REBUILD frames
+            fixed_params, fixed_active = fixed_concat()
+        elif not use_global:
+            # 1-capacity dummy so jit signatures stay small
+            dummy = G.init_section(
+                jnp.zeros((1, 3)), jnp.zeros((1, 3)), jnp.ones((1,)), 0, 1,
+                0.0, 1.0, isotropic=sec.params.isotropic)
+            fixed_params, fixed_active = dummy.params, dummy.active_mask()
 
         mcfg = MappingConfig(
             num_iters=mp["num_iters"],
@@ -1065,12 +1078,20 @@ class VTGaussianSLAM:
                 # global term — NOT the local terms — for <= K-1 frames;
                 # the term itself fires only on base-frame draws,
                 # /root/reference/src/vtgaussian_slam.py:2595-2603)
-                K = int(cfg["tpu"].get("global_cache_refresh_every", 4))
-                gkey = (self.fixed_section_ids, sec.capacity,
-                        fixed_params.means3d.shape[0], mpt, start)
+                refresh_every = int(
+                    cfg["tpu"].get("global_cache_refresh_every", 4))
+                # fixed sections are frozen, so their concat capacity is
+                # derivable on host — the concat itself is deferred to
+                # rebuild frames (it costs ~0.1-0.3 s at room0 scale)
+                fixed_cap = G.round_capacity(
+                    sum(int(self._sec(i).n_active)
+                        for i in self.fixed_section_ids), self.quantum)
+                gkey = (self.fixed_section_ids, sec.capacity, fixed_cap,
+                        mpt, start)
                 cached = getattr(self, "_gcache", None)
                 if (cached is None or self._gcache_key != gkey
-                        or self._gcache_age >= K):
+                        or self._gcache_age >= refresh_every):
+                    fixed_params, fixed_active = fixed_concat()
                     bq, bt = _traj_read(self.traj.quats, self.traj.trans,
                                         start)
                     gcache = build_global_cache(

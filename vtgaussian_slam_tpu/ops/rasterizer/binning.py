@@ -75,10 +75,10 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
     build time at SLAM sizes is brutal (a 3-operand 2-key sort at the
     Replica room0 working set costs ~45-60 s of COMPILE; it dominated
     section-boundary stalls) — fusing the key halves the operand count and
-    drops the second key comparison. Depth is quantized to the bits left
-    under the tile id (>= 18 at ScanNet++ tile counts, <= 0.04 mm over the
-    frame's depth range): far finer than alpha-blend order sensitivity, and
-    ties keep pair-id order (stable sort), so the order is deterministic."""
+    drops the second key comparison. Depth is LOG-quantized to the bits
+    left under the tile id (>= 18 at ScanNet++ tile counts; ~6e-5 relative
+    steps): far finer than alpha-blend order sensitivity, and ties keep
+    pair-id order (stable sort), so the order is deterministic."""
     N = proj.mean2d.shape[0]
     n_tiles = tiles_x * tiles_y
     s2 = span_cap * span_cap
@@ -91,13 +91,15 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
         proj, tile, span_cap, tiles_x, tiles_y)
 
     sentinel = jnp.int32(n_tiles << depth_bits)
+    # LOG-depth quantization over a fixed [1e-3, 1e4] m range: resolution is
+    # RELATIVE to depth (ln(1e7)/2^bits ~ 6e-5 of z at 18 bits, i.e. 0.2 mm
+    # at 3 m) and independent of the frame's depth distribution — a linear
+    # range from frame min/max would let one far outlier coarsen ordering
+    # for the whole frame. Monotone, so (tile, depth) order is preserved.
     d = proj.depth
-    dmin = jnp.min(jnp.where(valid, d, jnp.inf))
-    dmax = jnp.max(jnp.where(valid, d, -jnp.inf))
-    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
-    dmax = jnp.where(jnp.isfinite(dmax), dmax, 1.0)
-    scale = qmax / jnp.maximum(dmax - dmin, 1e-9)
-    qd = jnp.clip(jnp.where(jnp.isfinite(d), (d - dmin) * scale, qmax),
+    log_lo, log_span = -6.90776, 16.1181   # ln(1e-3), ln(1e4) - ln(1e-3)
+    dl = jnp.log(jnp.clip(jnp.where(jnp.isfinite(d), d, 1e4), 1e-3, 1e4))
+    qd = jnp.clip((dl - log_lo) * (qmax / log_span),
                   0, qmax).astype(jnp.int32)
     px, py = proj.mean2d[:, 0], proj.mean2d[:, 1]
     # circle-vs-tile cut: the rect over-includes ~25-30% of pairs whose disc

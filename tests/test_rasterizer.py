@@ -240,3 +240,36 @@ class TestPallasPath:
         for a, b in zip(g_x, g_p):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestBinningOrder:
+    def test_per_tile_depth_sorted_and_outlier_robust(self):
+        """The fused log-depth sort key must keep each tile's slot list
+        depth-ordered — including with a single far outlier in the scene,
+        which a linear frame-range quantization would have let coarsen the
+        ordering for everyone (review finding, round 3)."""
+        from vtgaussian_slam_tpu.ops.rasterizer.binning import bin_gaussians
+
+        key = jax.random.PRNGKey(11)
+        means, quats, scales, opac, colors = make_scene(key, n=300)
+        # inject one far-depth outlier (valid, in-frustum)
+        means = means.at[0].set(jnp.array([0.0, 0.0, 900.0]))
+        proj = project_gaussians(means, quats, scales, opac, CAM,
+                                 jnp.ones((300,), bool))
+        tiles_x, tiles_y = 4, 3
+        b = bin_gaussians(proj, 16, 3, tiles_x, tiles_y, 128,
+                          with_inverse=True)
+        depth = np.asarray(proj.depth)
+        tab = np.asarray(b.tab)
+        counts = np.asarray(b.counts)
+        for t in range(tiles_x * tiles_y):
+            d = depth[tab[t, : counts[t]]]
+            # non-decreasing up to one quantization step (~6e-5 relative)
+            assert np.all(np.diff(d) >= -1e-4 * np.maximum(d[:-1], 1)), t
+        # inverse map positions point back at the right gaussian
+        inv = np.asarray(b.inv_pos)
+        mpt = tab.shape[1]
+        for g in range(0, 300, 37):
+            for p in inv[g]:
+                if p >= 0:
+                    assert tab[p // mpt, p % mpt] == g

@@ -106,8 +106,8 @@ def main():
     # 5. full fwd render + loss value_and_grad (the real iteration minus Adam)
     cfg = LossConfig(tracking=False, use_sil_for_loss=False,
                      ignore_outlier_depth_loss=False, adaptive_sil=False,
-                     use_vis_mask=False, use_far_filter=False, im_weight=1.0,
-                     depth_weight=1.0, isotropic=True,
+                     im_weight=1.0,
+                     depth_weight=1.0,
                      backend_kwargs=tuple(sorted(dict(
                          span_cap=2, max_pairs_per_tile=512, chunk=128,
                          use_pallas=True).items())))

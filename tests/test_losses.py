@@ -26,8 +26,8 @@ def make_frame(H=8, W=8, depth=2.0, im=0.5):
 def cfg(**kw):
     base = dict(tracking=True, use_sil_for_loss=True,
                 ignore_outlier_depth_loss=False, adaptive_sil=False,
-                use_vis_mask=False, use_far_filter=False, im_weight=1.0,
-                depth_weight=1.0, isotropic=True, backend_kwargs=())
+                im_weight=1.0,
+                depth_weight=1.0, backend_kwargs=())
     base.update(kw)
     return LossConfig(**base)
 

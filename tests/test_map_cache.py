@@ -186,8 +186,8 @@ def _frames(params, active, poses):
 
 LCFG = LossConfig(tracking=False, use_sil_for_loss=False,
                   ignore_outlier_depth_loss=False, adaptive_sil=False,
-                  use_vis_mask=False, use_far_filter=False, im_weight=1.0,
-                  depth_weight=1.0, isotropic=True,
+                  im_weight=1.0,
+                  depth_weight=1.0,
                   backend_kwargs=tuple(sorted(BK.items())))
 LRS = (("log_scales", 0.005), ("logit_opacities", 0.05), ("means3D", 0.0),
        ("rgb_colors", 0.0025), ("unnorm_rotations", 0.0))

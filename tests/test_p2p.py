@@ -44,11 +44,19 @@ class TestP2PMetric:
                                    method=method)
             assert np.isfinite(float(m)) and float(m) >= 0
 
-    def test_no_overlap_gives_zero_pairs(self, frames):
+    def test_no_overlap_scores_infinite(self, frames):
+        """Zero correspondence pairs (no overlap, or a NaN pose whose
+        comparisons are all False) must score +inf — a vacuous 0 would beat
+        every real pose in the best-candidate selection. The reference
+        hard-errors on an empty correspondence set rather than prefer it."""
         d0, d1, K3, w2c0, _ = frames
         target = make_p2p_target(jnp.asarray(d0[..., 0]), K3, w2c0)
         # point the source camera the opposite way: no associations
         flip = geo.pose_to_w2c(jnp.array([0.0, 0.0, 1.0, 0.0]),
                                jnp.array([50.0, 0.0, 0.0]))
         m = point2plane_metric(target, jnp.asarray(d1[..., 0]), K3, flip)
-        assert float(m) == 0.0
+        assert float(m) == float("inf")
+        # NaN pose: every pair comparison is False -> also +inf, never best
+        nan_pose = jnp.full((4, 4), jnp.nan)
+        m2 = point2plane_metric(target, jnp.asarray(d1[..., 0]), K3, nan_pose)
+        assert float(m2) == float("inf")

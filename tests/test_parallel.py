@@ -136,8 +136,8 @@ class TestShardedEngineLoops:
         lcfg = LossConfig(
             tracking=True, use_sil_for_loss=True,
             ignore_outlier_depth_loss=True, adaptive_sil=True,
-            use_vis_mask=False, use_far_filter=False, im_weight=0.5,
-            depth_weight=0.025, isotropic=True,
+            im_weight=0.5,
+            depth_weight=0.025,
             backend_kwargs=tuple(sorted(
                 dict(span_cap=2, max_pairs_per_tile=128, chunk=128,
                      use_pallas=True).items())))
@@ -198,8 +198,8 @@ class TestShardedEngineLoops:
         lcfg = LossConfig(
             tracking=False, use_sil_for_loss=False,
             ignore_outlier_depth_loss=False, adaptive_sil=False,
-            use_vis_mask=False, use_far_filter=False, im_weight=0.5,
-            depth_weight=1.0, isotropic=True,
+            im_weight=0.5,
+            depth_weight=1.0,
             backend_kwargs=tuple(sorted(
                 dict(span_cap=2, max_pairs_per_tile=128, chunk=128,
                      use_pallas=True).items())))

@@ -43,12 +43,13 @@ class LossConfig(NamedTuple):
     use_sil_for_loss: bool
     ignore_outlier_depth_loss: bool
     adaptive_sil: bool          # replica tracking: pick threshold at iter 0
-    use_vis_mask: bool          # tum/scannet boundary visibility masking
-    use_far_filter: bool
     im_weight: float
     depth_weight: float
-    isotropic: bool
     backend_kwargs: tuple = ()  # extra kwargs for render_tiled, as sorted items
+    # NOTE: visibility/far-depth masks arrive pre-AND'ed via aux_mask and
+    # isotropy is carried by the params' shapes — they are deliberately NOT
+    # static fields here (every distinct static field value is a separate
+    # jit compile of the fused tracking/mapping loops)
 
 
 class RenderResult(NamedTuple):
@@ -153,7 +154,10 @@ def loss_from_render(
     valid = gt_depth > 0
 
     if cfg.ignore_outlier_depth_loss:
-        depth_error = jnp.abs(gt_depth - r.depth) * valid
+        # where (not *mask): a NaN render pixel excluded by nan_mask must
+        # not poison the median/loss (NaN * 0 == NaN)
+        depth_error = jnp.where(valid & nan_mask,
+                                jnp.abs(gt_depth - r.depth), 0.0)
         mask = (depth_error < 50 * jnp.median(depth_error)) & valid
     else:
         mask = valid
@@ -173,7 +177,12 @@ def loss_from_render(
                 def masked_mse(th):
                     m = (sil > th) & (gt_depth[0] > 0)
                     msum = jnp.sum(m) * 3
-                    return jnp.sum(sq * m[None]) / jnp.maximum(msum, 1)
+                    mse = jnp.sum(jnp.where(m[None], sq, 0.0)) / \
+                        jnp.maximum(msum, 1)
+                    # a threshold covering ZERO pixels must not win the
+                    # argmin with its vacuous 0 MSE (it would empty the
+                    # presence mask and freeze tracking at the init pose)
+                    return jnp.where(msum > 0, mse, jnp.inf)
 
                 mses = jax.vmap(masked_mse)(cands)
                 return cands[jnp.argmin(mses)]
@@ -188,14 +197,19 @@ def loss_from_render(
 
     mask = jax.lax.stop_gradient(mask)
 
+    # masked diffs go through where BEFORE abs so (a) NaN pixels excluded by
+    # nan_mask cannot poison the sum (NaN * 0 == NaN), and (b) the backward
+    # stays NaN-free (the double-where pattern: cotangents of masked-out
+    # pixels are exactly zero before reaching sign(NaN))
+    ddiff = jnp.where(mask, gt_depth - r.depth, 0.0)
     if cfg.tracking:
-        depth_loss = jnp.sum(jnp.abs(gt_depth - r.depth) * mask)
+        depth_loss = jnp.sum(jnp.abs(ddiff))
         if cfg.use_sil_for_loss or cfg.ignore_outlier_depth_loss:
-            im_loss = jnp.sum(jnp.abs(gt_im - r.im) * mask)
+            im_loss = jnp.sum(jnp.abs(jnp.where(mask, gt_im - r.im, 0.0)))
         else:
             im_loss = jnp.sum(jnp.abs(gt_im - r.im))
     else:
-        depth_loss = jnp.sum(jnp.abs(gt_depth - r.depth) * mask) / jnp.maximum(
+        depth_loss = jnp.sum(jnp.abs(ddiff)) / jnp.maximum(
             jnp.sum(mask), 1)
         im_loss = 0.8 * jnp.mean(jnp.abs(r.im - gt_im)) + 0.2 * (
             1.0 - ssim(r.im, gt_im))

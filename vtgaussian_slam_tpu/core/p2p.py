@@ -79,11 +79,15 @@ def point2plane_metric(
     tgt_in_src = geo.frustum_mask(src_w2c, src_intrinsics, target.pts_world, H, W,
                                   edge=0.0)
 
-    # projective association: source point -> nearest pixel in target image
+    # projective association: source point -> nearest pixel in target image.
+    # backproject() puts pixel (px, py)'s ray at (px + 0.5 - cx)/fx, so a
+    # point on that ray projects to uv = px + 0.5 — floor (not round) is
+    # the exact inverse; round() would shift half of all rows/columns to
+    # the neighboring pixel even at the true pose.
     pts_tcam = geo.transform_points(target.w2c, src_pts)
     uv, z = geo.project_points(pts_tcam, target.intrinsics)
-    px = jnp.round(uv[:, 0]).astype(jnp.int32)
-    py = jnp.round(uv[:, 1]).astype(jnp.int32)
+    px = jnp.floor(uv[:, 0]).astype(jnp.int32)
+    py = jnp.floor(uv[:, 1]).astype(jnp.int32)
     inb = (px >= 0) & (px < target.width) & (py >= 0) & (py < target.height)
     pix = jnp.clip(py, 0, target.height - 1) * target.width + jnp.clip(
         px, 0, target.width - 1)
@@ -99,12 +103,22 @@ def point2plane_metric(
     )
     resid = jnp.sum(tgt_n * dp, axis=-1)
     resid = jnp.where(pair, resid, 0.0)
+    n_pairs = jnp.sum(pair)
 
+    # ZERO pairs (no overlap, or a NaN pose iterate — NaN comparisons are
+    # all False) must score +inf, not 0: a vacuous 0 would beat every real
+    # pose in the best-candidate selection. The reference hard-errors on an
+    # empty Open3D correspondence set instead of preferring it.
     if method == "sum":
-        return jnp.sum(resid * resid)
-    if method == "max":
-        return jnp.max(jnp.abs(resid))
-    if method == "max100":
+        m = jnp.sum(resid * resid)
+    elif method == "max":
+        m = jnp.max(jnp.abs(resid))
+    elif method == "max100":
+        # mean of the top-k PAIRED residuals: normalize by the actual pair
+        # count, not a zero-diluted fixed 100 (which would favor low-overlap
+        # poses)
         top = jax.lax.top_k(jnp.abs(resid), 100)[0]
-        return jnp.mean(top)
-    raise ValueError(f"unknown p2p method {method!r}")
+        m = jnp.sum(top) / jnp.minimum(jnp.maximum(n_pairs, 1), 100)
+    else:
+        raise ValueError(f"unknown p2p method {method!r}")
+    return jnp.where(n_pairs > 0, m, jnp.inf)

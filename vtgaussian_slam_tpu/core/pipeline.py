@@ -416,6 +416,10 @@ class VTGaussianSLAM:
 
     def _loss_cfg(self, tracking: bool, use_vis: bool = False,
                   use_far: bool = False) -> LossConfig:
+        # use_vis/use_far only shape aux_mask (built host-side and AND'ed in
+        # by the caller) — they are deliberately NOT LossConfig fields, so
+        # the tum/scannet boundary phases 1 and 2 share one compiled loop
+        del use_vis, use_far
         tr = self.config["tracking" if tracking else "mapping"]
         bk = self.backend_kwargs if tracking else self.map_backend_kwargs
         return LossConfig(
@@ -424,11 +428,8 @@ class VTGaussianSLAM:
             ignore_outlier_depth_loss=tr["ignore_outlier_depth_loss"],
             adaptive_sil=(tracking and self.dataset_name == "replica"
                           and tr["use_sil_for_loss"]),
-            use_vis_mask=use_vis,
-            use_far_filter=use_far,
             im_weight=float(tr["loss_weights"]["im"]),
             depth_weight=float(tr["loss_weights"]["depth"]),
-            isotropic=self.config["gaussian_distribution"] == "isotropic",
             backend_kwargs=bk,
         )
 

@@ -87,57 +87,15 @@ def track_frame(
     cfg: TrackingConfig,
 ) -> tuple[TrackState, jnp.ndarray, jnp.ndarray]:
     """Returns (state, im_loss_history, depth_loss_history) — the per-
-    iteration loss streams the reference logs to wandb (report_loss)."""
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    lr = jnp.concatenate([
-        jnp.full((4,), cfg.lr_quat), jnp.full((3,), cfg.lr_trans)
-    ]).astype(state.quat.dtype)
+    iteration loss streams the reference logs to wandb (report_loss).
+    The generic (non-cached) path: `track_loop` over `render_slam`."""
+    from .losses import render_slam
 
-    def loss_fn(quat, trans, sil_thres, is_first):
-        out = compute_loss(params, active, quat, trans, frame, cam,
-                           cfg.loss_cfg, sil_thres, is_first, aux_mask)
-        return out.loss, out
+    def render_fn(quat, trans):
+        return render_slam(params, active, quat, trans, cam,
+                           dict(cfg.loss_cfg.backend_kwargs))
 
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-
-    def body(i, carry):
-        s, im_h, d_h = carry
-        (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres, i == 0)
-
-        # fresh-per-frame Adam on the 7 pose dofs (torch semantics)
-        g = jnp.concatenate([gq, gt])
-        count = s.count + 1
-        t = count.astype(loss.dtype)
-        m = b1 * s.m + (1 - b1) * g
-        v = b2 * s.v + (1 - b2) * g * g
-        upd = lr * (m / (1 - b1**t)) / (jnp.sqrt(v / (1 - b2**t)) + eps)
-        pose = jnp.concatenate([s.quat, s.trans]) - upd
-        new_quat, new_trans = pose[:4], pose[4:]
-
-        if cfg.metric == "loss":
-            metric = loss  # pre-step loss, post-step candidate (reference order)
-        else:
-            from ..ops import geometry as geo
-            w2c = geo.pose_to_w2c(geo.normalize(new_quat), new_trans)
-            metric = point2plane_metric(
-                p2p_target, frame.depth, jnp.asarray(cam.intrinsics), w2c,
-                method=cfg.p2p_method)
-
-        better = metric < s.min_metric
-        new_state = TrackState(
-            quat=new_quat, trans=new_trans, m=m, v=v, count=count,
-            best_quat=jnp.where(better, new_quat, s.best_quat),
-            best_trans=jnp.where(better, new_trans, s.best_trans),
-            min_metric=jnp.minimum(metric, s.min_metric),
-            min_loss=jnp.minimum(loss, s.min_loss),
-            sil_thres=out.sil_thres_out,
-            im_loss=out.im_loss, depth_loss=out.depth_loss,
-        )
-        return new_state, im_h.at[i].set(out.im_loss), \
-            d_h.at[i].set(out.depth_loss)
-
-    zeros = jnp.zeros((cfg.num_iters,), state.quat.dtype)
-    return jax.lax.fori_loop(0, cfg.num_iters, body, (state, zeros, zeros))
+    return track_loop(render_fn, state, frame, aux_mask, p2p_target, cam, cfg)
 
 
 def track_loop(render_fn, state: TrackState, frame: Frame,
@@ -164,7 +122,12 @@ def track_loop(render_fn, state: TrackState, frame: Frame,
 
     def body(i, carry):
         s, im_h, d_h = carry
-        (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres, i == 0)
+        # the adaptive sil threshold is picked exactly once per FRAME
+        # (reference tracking_iteration == 0, :472-510) — s.count carries
+        # across continuation calls (rebin segments, iteration doubling),
+        # where the loop index i would wrongly re-pick
+        (loss, out), (gq, gt) = grad_fn(s.quat, s.trans, s.sil_thres,
+                                        s.count == 0)
         g = jnp.concatenate([gq, gt])
         count = s.count + 1
         t = count.astype(loss.dtype)
@@ -183,13 +146,17 @@ def track_loop(render_fn, state: TrackState, frame: Frame,
                 p2p_target, frame.depth, jnp.asarray(cam.intrinsics), w2c,
                 method=cfg.p2p_method)
 
+        # `better` (not jnp.minimum) so a NaN iteration neither becomes the
+        # best candidate nor freezes the minima at NaN forever (the
+        # reference's Python `if metric < min:` skips NaN the same way)
         better = metric < s.min_metric
+        lower = loss < s.min_loss
         new_state = TrackState(
             quat=new_quat, trans=new_trans, m=m, v=v, count=count,
             best_quat=jnp.where(better, new_quat, s.best_quat),
             best_trans=jnp.where(better, new_trans, s.best_trans),
-            min_metric=jnp.minimum(metric, s.min_metric),
-            min_loss=jnp.minimum(loss, s.min_loss),
+            min_metric=jnp.where(better, metric, s.min_metric),
+            min_loss=jnp.where(lower, loss, s.min_loss),
             sil_thres=out.sil_thres_out,
             im_loss=out.im_loss, depth_loss=out.depth_loss,
         )

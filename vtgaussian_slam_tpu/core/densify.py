@@ -39,56 +39,6 @@ class DensifyCandidates(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "backend_kwargs"))
-def densify_candidates_base(
-    params: GaussianParams,
-    active: jnp.ndarray,
-    cam_quat: jnp.ndarray,
-    cam_trans: jnp.ndarray,
-    frame: Frame,
-    cam: Camera,
-    sil_thres: float,
-    backend_kwargs: tuple = (),
-) -> DensifyCandidates:
-    r = render_slam(jax.lax.stop_gradient(params), active,
-                    jax.lax.stop_gradient(cam_quat),
-                    jax.lax.stop_gradient(cam_trans), cam,
-                    dict(backend_kwargs))
-    gt_depth = frame.depth[0]
-    render_depth = r.depth[0]
-    depth_err = jnp.abs(gt_depth - render_depth) * (gt_depth > 0)
-    non_presence = (r.silhouette < sil_thres) | (
-        (render_depth > gt_depth) & (depth_err > 50 * jnp.median(depth_err)))
-    keep = (non_presence & (gt_depth > 0)).reshape(-1)
-
-    K = jnp.asarray(cam.intrinsics)
-    w2c = geo.pose_to_w2c(geo.normalize(cam_quat), cam_trans)
-    pts = geo.backproject(gt_depth, K, c2w=geo.invert_se3(w2c))
-    msq = geo.mean_sq_dist_projective(gt_depth.reshape(-1), K[0, 0], K[1, 1])
-    colors = frame.color.reshape(3, -1).T
-    return DensifyCandidates(points=pts, colors=colors, mean3_sq_dist=msq,
-                             keep=keep, non_presence=non_presence)
-
-
-@functools.partial(jax.jit, static_argnames=("cam",))
-def densify_candidates_stream(
-    cam_quat: jnp.ndarray,
-    cam_trans: jnp.ndarray,
-    frame: Frame,          # densify-resolution frame
-    cam: Camera,           # densify-resolution intrinsics
-    keep_mask: jnp.ndarray,  # (Hd, Wd) bool: resized non_presence & edge mask
-) -> DensifyCandidates:
-    gt_depth = frame.depth[0]
-    keep = (keep_mask & (gt_depth > 0)).reshape(-1)
-    K = jnp.asarray(cam.intrinsics)
-    w2c = geo.pose_to_w2c(geo.normalize(cam_quat), cam_trans)
-    pts = geo.backproject(gt_depth, K, c2w=geo.invert_se3(w2c))
-    msq = geo.mean_sq_dist_projective(gt_depth.reshape(-1), K[0, 0], K[1, 1])
-    colors = frame.color.reshape(3, -1).T
-    return DensifyCandidates(points=pts, colors=colors, mean3_sq_dist=msq,
-                             keep=keep, non_presence=keep_mask)
-
-
-@functools.partial(jax.jit, static_argnames=("cam", "backend_kwargs"))
 def densify_nonpresence(
     params: GaussianParams,
     active: jnp.ndarray,
@@ -99,7 +49,7 @@ def densify_nonpresence(
     sil_thres: float,
     backend_kwargs: tuple = (),
 ) -> jnp.ndarray:
-    """Just the (H, W) non-presence mask of `densify_candidates_base` —
+    """The (H, W) non-presence mask (sil + depth-error terms, :749-756) —
     the engine compacts candidate pixel indices on the HOST (the mask is
     pulled there anyway for the densify-stream resize) so the appends
     scatter ~10-100k compacted rows instead of one-per-pixel static
@@ -112,8 +62,11 @@ def densify_nonpresence(
     gt_depth = frame.depth[0]
     render_depth = r.depth[0]
     depth_err = jnp.abs(gt_depth - render_depth) * (gt_depth > 0)
+    # torch.median (the reference, :754) returns the LOWER middle element
+    # for even-sized inputs; jnp.median interpolates — use method="lower"
+    med = jnp.quantile(depth_err, 0.5, method="lower")
     return (r.silhouette < sil_thres) | (
-        (render_depth > gt_depth) & (depth_err > 50 * jnp.median(depth_err)))
+        (render_depth > gt_depth) & (depth_err > 50 * med))
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))

@@ -158,7 +158,11 @@ def loss_from_render(
         # not poison the median/loss (NaN * 0 == NaN)
         depth_error = jnp.where(valid & nan_mask,
                                 jnp.abs(gt_depth - r.depth), 0.0)
-        mask = (depth_error < 50 * jnp.median(depth_error)) & valid
+        # torch.median returns the LOWER middle element for even-sized
+        # inputs (H*W is even at every supported resolution); jnp.median
+        # would interpolate and shift the 50x threshold
+        mask = (depth_error < 50 * jnp.quantile(
+            depth_error, 0.5, method="lower")) & valid
     else:
         mask = valid
     mask = mask & nan_mask

@@ -274,8 +274,10 @@ class MapCacheStore:
     Policy (the TPU-side analogue of the reference's per-iteration full
     rebinning, /root/reference/src/vtgaussian_slam.py:2516-2780):
       - the just-tracked frame's cache is built fresh every mapping phase;
-      - per phase, the `refresh` stalest other slots (built when the section
-        had fewer gaussians than now) are rebuilt, so densified gaussians
+      - per phase, the `refresh` stalest other slots are rebuilt — stale =
+        built when the section had fewer gaussians than now, OR built more
+        than `stale_age` phases ago (trained log_scales drift the tile
+        membership even at constant n_active) — so densified/grown gaussians
         become visible from older keyframes within ~count/refresh frames;
       - gaussians added after a slot's build simply receive no gradient from
         that keyframe until its refresh (inv_pos rows of then-inactive
@@ -292,10 +294,15 @@ class MapCacheStore:
     """
 
     def __init__(self, max_slots: int = 64, refresh: int = 1,
-                 tile_pad: int = 0):
+                 tile_pad: int = 0, stale_age: int = 12):
         self.max_slots = max_slots
         self.refresh = refresh
         self.tile_pad = tile_pad
+        # binning also depends on exp(log_scales), which train every
+        # iteration — a slot untouched by densification still goes stale as
+        # splats grow past their build-time radii, so slots older than
+        # `stale_age` phases refresh even at constant n_active
+        self.stale_age = stale_age
         self.reset()
 
     def reset(self):
@@ -303,6 +310,8 @@ class MapCacheStore:
         self.key = None            # (capacity, mpt, H, W_img, W)
         self.ring_of_slot = []     # cache slot -> ring index
         self.built_n = []          # n_active at build time per slot
+        self.built_tick = []       # update() counter at build time per slot
+        self.tick = 0
         self.poses = {}            # ring index -> (quat np, trans np)
 
     def slot_ids_array(self, W: int):
@@ -326,6 +335,7 @@ class MapCacheStore:
         just-tracked frame plus any re-seeded after resume/re-bucket) and
         refresh stale slots. Returns (stack, slot_ids, count)."""
         self.poses[ring_idx] = (quat, trans)
+        self.tick += 1
         key = (params.means3d.shape[0], mpt, cam.height, cam.width, W)
         if self.key != key:
             # shape re-bucket: drop the stack, keep poses; every registered
@@ -333,6 +343,7 @@ class MapCacheStore:
             self.stack = None
             self.ring_of_slot = []
             self.built_n = []
+            self.built_tick = []
             self.key = key
 
         missing = [r for r in sorted(self.poses)
@@ -344,16 +355,21 @@ class MapCacheStore:
                     lambda v: jnp.zeros((W,) + v.shape, v.dtype), built)
             self._admit_slot(r, built, n_active, W)
 
-        # refresh the stalest slots (missed densifications)
+        # refresh the stalest slots: missed densifications, or builds old
+        # enough that trained log_scales have drifted the tile membership
         for _ in range(self.refresh):
             stale = [i for i, b in enumerate(self.built_n)
-                     if b < n_active and self.ring_of_slot[i] != ring_idx]
+                     if (b < n_active
+                         or self.tick - self.built_tick[i] >= self.stale_age)
+                     and self.ring_of_slot[i] != ring_idx]
             if not stale:
                 break
-            slot = min(stale, key=lambda i: self.built_n[i])
+            slot = min(stale, key=lambda i: (self.built_n[i],
+                                             self.built_tick[i]))
             self._write(slot, self._build(
                 params, active, self.ring_of_slot[slot], cam, span_cap, mpt))
             self.built_n[slot] = n_active
+            self.built_tick[slot] = self.tick
 
         slot_ids, count = self.slot_ids_array(W)
         return self.stack, slot_ids, count
@@ -363,6 +379,7 @@ class MapCacheStore:
             slot = len(self.ring_of_slot)
             self.ring_of_slot.append(ring_idx)
             self.built_n.append(n_active)
+            self.built_tick.append(self.tick)
         else:
             # evict the oldest non-base slot (ring 0 pinned: the global term
             # and reference sampling both want the base frame available)
@@ -372,6 +389,7 @@ class MapCacheStore:
             self.poses.pop(self.ring_of_slot[slot], None)
             self.ring_of_slot[slot] = ring_idx
             self.built_n[slot] = n_active
+            self.built_tick[slot] = self.tick
         self._write(slot, built)
 
 

@@ -12,6 +12,12 @@ TPU redesign of the reference mapping loop
 - The global term concatenates two FROZEN earlier sections with the trainable
   buffer (:2485-2510); frozen Gaussians are stop_gradient'ed, which is
   exactly the effect of the reference's all-zero `fixed_lrs` optimizer.
+  Gradient cadence matches the reference exactly: the concat is built
+  differentiably once before the loop (:2510) but rebuilt INSIDE
+  torch.no_grad every iteration (:2688, :2734), so the global term carries
+  gradient only on the phase's FIRST iteration and is value-only (logging)
+  afterwards — implemented here as a lax.cond between a differentiable and
+  a stop_gradient'ed render of the same concat.
 - Pose updates during mapping use lrs of 1e-8/1e-7 in every reference config
   (e.g. configs/replica/room0.py:105-106) — numerically a no-op — so poses
   are held fixed here and the boundary re-anchoring (:2706-2727), which
@@ -54,14 +60,17 @@ class KeyframeBuffer(NamedTuple):
     count: jnp.ndarray    # scalar int32 — number of valid entries
 
 
-def _lr_tree(params: GaussianParams, lrs: dict) -> GaussianParams:
+# reference config field name -> GaussianParams attribute (single source
+# for the lr tree, the zero-lr gradient freeze, and the (N, 8) lrs table)
+FIELD_ATTR = (("means3D", "means3d"), ("rgb_colors", "rgb_colors"),
+              ("unnorm_rotations", "unnorm_rotations"),
+              ("logit_opacities", "logit_opacities"),
+              ("log_scales", "log_scales"))
+
+
+def _lr_tree(lrs: dict) -> GaussianParams:
     return GaussianParams(
-        means3d=lrs.get("means3D", 0.0),
-        rgb_colors=lrs.get("rgb_colors", 0.0),
-        unnorm_rotations=lrs.get("unnorm_rotations", 0.0),
-        logit_opacities=lrs.get("logit_opacities", 0.0),
-        log_scales=lrs.get("log_scales", 0.0),
-    )
+        **{a: lrs.get(f, 0.0) for f, a in FIELD_ATTR})
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "cfg"))
@@ -74,8 +83,9 @@ def map_frame(
     rng: jnp.ndarray,
     cam: Camera,
     cfg: MappingConfig,
-) -> GaussianParams:
-    lrs = _lr_tree(params, dict(cfg.lrs))
+) -> tuple[GaussianParams, jnp.ndarray]:
+    lr_dict = dict(cfg.lrs)
+    lrs = _lr_tree(lr_dict)
     opt_state = adam_init(params)
 
     fixed = jax.tree.map(jax.lax.stop_gradient, fixed_params)
@@ -83,43 +93,48 @@ def map_frame(
     # Leaves with lr == 0 never move (torch Adam with lr 0 is a no-op update);
     # stop their gradients statically so XLA skips the backward scatter-adds
     # entirely — e.g. means3D/unnorm_rotations in every reference config.
-    lr_dict = dict(cfg.lrs)
-    _FIELDS = ("means3D", "rgb_colors", "unnorm_rotations",
-               "logit_opacities", "log_scales")
-    _ATTRS = ("means3d", "rgb_colors", "unnorm_rotations",
-              "logit_opacities", "log_scales")
-
     def freeze_zero_lr(p: GaussianParams) -> GaussianParams:
-        vals = {}
-        for f, a in zip(_FIELDS, _ATTRS):
-            v = getattr(p, a)
-            vals[a] = jax.lax.stop_gradient(v) if lr_dict.get(f, 0.0) == 0.0 else v
-        return GaussianParams(**vals)
+        return GaussianParams(**{
+            a: (jax.lax.stop_gradient(getattr(p, a))
+                if lr_dict.get(f, 0.0) == 0.0 else getattr(p, a))
+            for f, a in FIELD_ATTR})
 
     def single_loss(p: GaussianParams, act, frame: Frame, quat, trans):
         return compute_loss(p, act, quat, trans, frame, cam, cfg.loss_cfg,
                             jnp.asarray(0.5, jnp.float32), jnp.asarray(False))
 
-    def loss_fn(p: GaussianParams, frame: Frame, quat, trans, kf_id):
+    def loss_fn(p: GaussianParams, frame: Frame, quat, trans, kf_id,
+                is_first):
         p = freeze_zero_lr(p)
         out = single_loss(p, active, frame, quat, trans)
         loss = out.loss
         if cfg.use_global:
-            def add_global(l):
-                # concat frozen prefix + trainable buffer; frozen part carries
-                # no gradient (fixed_lrs == 0 in the reference)
+            def g_loss(pv: GaussianParams):
+                # concat frozen prefix + trainable buffer; frozen part
+                # carries no gradient (fixed_lrs == 0 in the reference)
                 gp = GaussianParams(
-                    means3d=jnp.concatenate([fixed.means3d, p.means3d]),
-                    rgb_colors=jnp.concatenate([fixed.rgb_colors, p.rgb_colors]),
+                    means3d=jnp.concatenate([fixed.means3d, pv.means3d]),
+                    rgb_colors=jnp.concatenate(
+                        [fixed.rgb_colors, pv.rgb_colors]),
                     unnorm_rotations=jnp.concatenate(
-                        [fixed.unnorm_rotations, p.unnorm_rotations]),
+                        [fixed.unnorm_rotations, pv.unnorm_rotations]),
                     logit_opacities=jnp.concatenate(
-                        [fixed.logit_opacities, p.logit_opacities]),
-                    log_scales=jnp.concatenate([fixed.log_scales, p.log_scales]),
+                        [fixed.logit_opacities, pv.logit_opacities]),
+                    log_scales=jnp.concatenate(
+                        [fixed.log_scales, pv.log_scales]),
                 )
                 g_active = jnp.concatenate([fixed_active, active])
-                gout = single_loss(gp, g_active, frame, quat, trans)
-                return l + gout.loss
+                return single_loss(gp, g_active, frame, quat, trans).loss
+
+            def add_global(l):
+                # gradient only on the phase's FIRST iteration — the
+                # reference rebuilds its global concat inside torch.no_grad
+                # from iteration 2 on (:2510 vs :2688,:2734), making the
+                # term value-only afterwards (see map_binned_loop)
+                return l + jax.lax.cond(
+                    is_first, g_loss,
+                    lambda v: g_loss(jax.tree.map(jax.lax.stop_gradient, v)),
+                    p)
 
             # global term applies when the sampled keyframe is a base frame
             # (/root/reference/src/vtgaussian_slam.py:2599-2603)
@@ -135,7 +150,7 @@ def map_frame(
         idx = jax.random.randint(k, (), 0, kf.count)
         frame = Frame(color=kf.colors[idx], depth=kf.depths[idx])
         loss, grads = vg_fn(p, frame, kf.quats[idx], kf.trans[idx],
-                            kf.frame_ids[idx])
+                            kf.frame_ids[idx], i == 0)
         p, opt = adam_step(p, grads, opt, lrs, eps=1e-15)
         return (p, opt, hist.at[i].set(loss))
 
@@ -170,7 +185,7 @@ def map_binned_loop(render_local, render_global, params, kf, kfc,
     f8 = pack_fields8(params)                                # (N, 8)
     opt_state = adam_init(f8)
 
-    def loss_fn(v8, slot):
+    def loss_fn(v8, slot, is_first):
         ring = slot_ids[slot]
         frame = Frame(color=kf.colors[ring], depth=kf.depths[ring])
         k = jax.tree.map(lambda x: x[slot], kfc)
@@ -179,11 +194,21 @@ def map_binned_loop(render_local, render_global, params, kf, kfc,
                                 jnp.asarray(0.5, v8.dtype),
                                 jnp.asarray(False)).loss
         if cfg.use_global:
-            def add_global(l):
-                rg = render_global(v8)
-                return l + loss_from_render(
-                    rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v8.dtype),
+            def g_loss(v):
+                rg = render_global(v)
+                return loss_from_render(
+                    rg, frame, cfg.loss_cfg, jnp.asarray(0.5, v.dtype),
                     jnp.asarray(False)).loss
+
+            def add_global(l):
+                # reference gradient semantics: the global concat is built
+                # differentiably ONCE before the loop (:2510) and rebuilt
+                # every iteration INSIDE torch.no_grad() (:2688, :2734) —
+                # so the term contributes gradient only on the phase's
+                # FIRST iteration and is value-only (logging) afterwards.
+                return l + jax.lax.cond(
+                    is_first, g_loss,
+                    lambda v: g_loss(jax.lax.stop_gradient(v)), v8)
 
             # global term applies when the sampled keyframe is a base frame
             # (/root/reference/src/vtgaussian_slam.py:2599-2603); the global
@@ -198,7 +223,7 @@ def map_binned_loop(render_local, render_global, params, kf, kfc,
         v8, opt, hist = carry
         k = jax.random.fold_in(rng, i)
         idx = jax.random.randint(k, (), 0, kf.count)
-        loss, grads = vg_fn(v8, idx)
+        loss, grads = vg_fn(v8, idx, i == 0)
         v8, opt = adam_step(v8, grads, opt, lrs8, eps=1e-15)
         return (v8, opt, hist.at[i].set(loss))
 

@@ -57,7 +57,10 @@ def overlap_percents(
         cum = jnp.cumsum(valid.astype(jnp.int32)) - 1
         idx = jnp.searchsorted(cum, ranks, side="left")
         rows, cols = idx // W, idx % W
-        pmask = jnp.ones((pixels,), bool)
+        # a frame with ZERO valid depth (dropped sensor frame) must score 0
+        # everywhere — the clamped searchsorted would otherwise sample one
+        # garbage corner pixel 1600 times (the reference crashes here)
+        pmask = jnp.full((pixels,), True) & (n_valid > 0)
     else:
         idx = jnp.arange(H * W)
         rows, cols = idx // W, idx % W
@@ -78,7 +81,11 @@ def overlap_percents(
             # stored pixel (i, j) holds the full-res sample at (i*s, j*s)
             d = geo.bilinear_sample(kf_depth, uv / depth_stride)
             m = m & (jnp.abs(d - z) < kf_depth_thresh * jnp.minimum(d, z))
-        return jnp.sum(m) / pts.shape[0]
+        # percent over the VALID sampled pixels: the reference backprojects
+        # only valid-depth pixels and divides by their count
+        # (keyframe_selection.py:121-229); dividing by H*W would scale every
+        # score by the frame's valid fraction and shift threshold decisions
+        return jnp.sum(m) / jnp.maximum(jnp.sum(pmask), 1)
 
     return jax.vmap(score)(kf_w2cs, kf_depths)
 

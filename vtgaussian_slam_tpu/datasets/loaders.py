@@ -68,15 +68,39 @@ class ReplicaDataset(RGBDDataset):
 class ReplicaV2Dataset(ReplicaDataset):
     def __init__(self, config_dict, basedir, sequence,
                  use_train_split: bool = True, **kwargs):
+        self.use_train_split = use_train_split
+        self.train_input_folder = os.path.join(basedir, sequence, "imap/00")
         split = "imap/00" if use_train_split else "imap/01"
         self.input_folder = os.path.join(basedir, sequence, split)
         self.pose_path = os.path.join(self.input_folder, "traj_w_c.txt")
+        self.train_pose_path = os.path.join(self.train_input_folder,
+                                            "traj_w_c.txt")
         RGBDDataset.__init__(self, config_dict, **kwargs)
 
     def get_filepaths(self):
         color = natsorted(glob.glob(f"{self.input_folder}/rgb/rgb_*.png"))
         depth = natsorted(glob.glob(f"{self.input_folder}/depth/depth_*.png"))
+        if not self.use_train_split:
+            # the reference prepends the FIRST TRAIN frame to the test split
+            # (replica.py:108-129) so relative poses anchor on the train
+            # world frame the map was built in
+            color = [f"{self.train_input_folder}/rgb/rgb_0.png"] + color
+            depth = [f"{self.train_input_folder}/depth/depth_0.png"] + depth
         return color, depth
+
+    def load_poses(self):
+        poses = []
+        if not self.use_train_split:
+            with open(self.train_pose_path) as f:
+                first = f.readline()
+            poses.append(
+                np.array(list(map(float, first.split()))).reshape(4, 4))
+        with open(self.pose_path) as f:
+            lines = f.readlines()
+        n = self.num_imgs - len(poses)
+        poses += [np.array(list(map(float, lines[i].split()))).reshape(4, 4)
+                  for i in range(n)]
+        return poses
 
 
 class TUMDataset(RGBDDataset):
@@ -227,16 +251,37 @@ class ICLDataset(RGBDDataset):
         return color, depth
 
     def load_poses(self):
+        # the reference parses *.gt.sim — 3 rows of 4 floats per pose
+        # (icl.py:31-35, 60-84); *.gt.freiburg (tx ty tz qx qy qz qw) is
+        # kept as a fallback for sequences prepared without the .sim file
+        sim = glob.glob(f"{self.input_folder}/*.gt.sim")
+        if sim:
+            rows = [list(map(float, ln.split()))
+                    for ln in open(sim[0]) if ln.strip()]
+            arr = np.asarray(rows, np.float64)
+            poses = []
+            for i in range(0, arr.shape[0], 3):
+                p = np.eye(4)
+                p[:3, :4] = arr[i:i + 3]
+                poses.append(p)
+            return poses
         gt = glob.glob(f"{self.input_folder}/*.gt.freiburg")
         if not gt:
-            raise FileNotFoundError(f"no *.gt.freiburg pose file in {self.input_folder}")
+            raise FileNotFoundError(
+                f"no *.gt.sim or *.gt.freiburg pose file in "
+                f"{self.input_folder}")
         lines = np.loadtxt(gt[0], dtype=np.float64)
         return [_pose_from_tq(l[1:8]) for l in lines]
 
 
 class AzureKinectDataset(RGBDDataset):
-    def __init__(self, config_dict, basedir, sequence, **kwargs):
+    def __init__(self, config_dict, basedir, sequence, odomfile=None,
+                 **kwargs):
         self.input_folder = os.path.join(basedir, sequence)
+        # reference semantics (azure.py:59-104): pose file comes from the
+        # `odomfile` kwarg; no file -> identity poses with a warning
+        self.pose_path = (os.path.join(self.input_folder, odomfile)
+                          if odomfile else None)
         super().__init__(config_dict, **kwargs)
 
     def get_filepaths(self):
@@ -245,11 +290,26 @@ class AzureKinectDataset(RGBDDataset):
         return color, depth
 
     def load_poses(self):
-        pose_path = os.path.join(self.input_folder, "poses_global_dvo.txt")
-        if os.path.isfile(pose_path):
-            mats = np.loadtxt(pose_path).reshape(-1, 4, 4)
-            return list(mats)
-        raise FileNotFoundError(f"no poses_global_dvo.txt in {self.input_folder}")
+        if self.pose_path is None:
+            fallback = os.path.join(self.input_folder, "poses_global_dvo.txt")
+            if os.path.isfile(fallback):
+                self.pose_path = fallback
+            else:
+                print("WARNING: Dataset does not contain poses. "
+                      "Returning identity transform.")
+                return [np.eye(4) for _ in range(self.num_imgs)]
+        if self.pose_path.endswith(".log"):
+            # .log: 5 lines per frame — metadata then 4 matrix rows
+            lines = [ln for ln in open(self.pose_path)]
+            if len(lines) % 5 != 0:
+                raise ValueError("Incorrect .log odom file: line count must "
+                                 "be a multiple of 5")
+            return [np.array([list(map(float, lines[5 * i + r].split()))
+                              for r in range(1, 5)]).reshape(4, 4)
+                    for i in range(len(lines) // 5)]
+        rows = [list(map(float, ln.split()))
+                for ln in open(self.pose_path) if ln.split()]
+        return [np.asarray(r, np.float64).reshape(4, 4) for r in rows]
 
 
 class Ai2thorDataset(RGBDDataset):

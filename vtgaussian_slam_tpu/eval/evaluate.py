@@ -51,6 +51,27 @@ def eval_backend_kwargs(params_ls: list[dict], height: int, width: int,
             "chunk": tpu_cfg.get("blend_chunk", 128)}
 
 
+def _load_sections_and_renderer(params_ls: list[dict],
+                                backend_kwargs: dict | None):
+    """Shared eval setup: sections + trajectory from saved params, and a
+    jitted renderer (the reference uses the LAST section's trajectory,
+    eval_helpers.py:525-541)."""
+    sections, traj = [], None
+    for p in params_ls:
+        sec, tr = G.section_from_numpy_params(p)
+        sections.append(sec)
+        traj = tr
+    if backend_kwargs is None:
+        # Pallas blend on accelerators, XLA blend on CPU
+        backend_kwargs = {"use_pallas": jax.default_backend() != "cpu",
+                          "max_pairs_per_tile": 512}
+    render_fn = jax.jit(
+        lambda prm, act, q, t, cam: render_slam(prm, act, q, t, cam,
+                                                backend_kwargs),
+        static_argnames=("cam",))
+    return sections, traj, render_fn
+
+
 def eval_sequence(
     dataset,
     params_ls: list[dict],
@@ -68,21 +89,17 @@ def eval_sequence(
     os.makedirs(eval_dir, exist_ok=True)
     psnr_list, rmse_list, l1_list, ssim_list, lpips_list = [], [], [], [], []
 
-    sections = []
-    traj = None
-    for p in params_ls:
-        sec, tr = G.section_from_numpy_params(p)
-        sections.append(sec)
-        traj = tr  # reference uses the LAST section's trajectory (:525-541)
+    sections, traj, render_fn = _load_sections_and_renderer(
+        params_ls, backend_kwargs)
 
-    if backend_kwargs is None:
-        # Pallas blend on accelerators, XLA blend on CPU
-        backend_kwargs = {"use_pallas": jax.default_backend() != "cpu",
-                          "max_pairs_per_tile": 512}
-    render_fn = jax.jit(
-        lambda prm, act, q, t, cam: render_slam(prm, act, q, t, cam,
-                                                backend_kwargs),
-        static_argnames=("cam",))
+    # the saved trajectory only covers the frames the map was trained on —
+    # a jnp index past its end CLAMPS silently, which would score every
+    # extra frame at the final trained pose (the reference hard-errors)
+    T = traj.quats.shape[0]
+    if num_frames > T:
+        print(f"WARNING: dataset has {num_frames} frames but the saved "
+              f"trajectory covers {T}; evaluating the covered prefix")
+        num_frames = T
 
     gt_w2c_list = []
     first_frame_w2c = None
@@ -92,6 +109,14 @@ def eval_sequence(
             os.makedirs(os.path.join(eval_dir, sub), exist_ok=True)
 
     for t in range(num_frames):
+        skipped = t != 0 and t % eval_every != 0
+        if skipped and hasattr(dataset, "poses"):
+            # only the pose is needed for the final ATE — skip the image
+            # decode+resize for frames eval_every passes over (minutes of
+            # wasted I/O at replica's eval_every=1000 over 2000 frames)
+            pose = dataset.poses[t]
+            gt_w2c_list.append(np.linalg.inv(np.asarray(pose, np.float64)))
+            continue
         color, depth, intrinsics, pose = dataset[t]
         gt_w2c = np.linalg.inv(np.asarray(pose, np.float64))
         gt_w2c_list.append(gt_w2c)
@@ -99,7 +124,7 @@ def eval_sequence(
             first_frame_w2c = gt_w2c
             K = np.asarray(intrinsics)[:3, :3]
             cam = setup_camera(color.shape[1], color.shape[0], K)
-        if t != 0 and t % eval_every != 0:
+        if skipped:
             continue
 
         sec = sections[min(t // baseframe_every, len(sections) - 1)]
@@ -212,19 +237,8 @@ def eval_recon(
     from .plyio import read_ply, write_ply
 
     os.makedirs(os.path.join(eval_dir, "recon"), exist_ok=True)
-    sections, traj = [], None
-    for p in params_ls:
-        sec, tr = G.section_from_numpy_params(p)
-        sections.append(sec)
-        traj = tr
-
-    if backend_kwargs is None:
-        backend_kwargs = {"use_pallas": jax.default_backend() != "cpu",
-                          "max_pairs_per_tile": 512}
-    render_fn = jax.jit(
-        lambda prm, act, q, t, cam: render_slam(prm, act, q, t, cam,
-                                                backend_kwargs),
-        static_argnames=("cam",))
+    sections, traj, render_fn = _load_sections_and_renderer(
+        params_ls, backend_kwargs)
 
     color0, _, intrinsics, _ = dataset[0]
     K = np.asarray(intrinsics)[:3, :3]
@@ -254,6 +268,11 @@ def eval_recon(
         c2w = np.linalg.inv(w2c)
         pts_all.append((pc @ c2w[:3, :3].T + c2w[:3, 3])[z.reshape(-1) > 0])
     pts_all = np.concatenate(pts_all) if pts_all else np.zeros((1, 3))
+    if pts_all.shape[0] == 0:
+        # every rendered depth was silhouette-masked away (degenerate map):
+        # report a failed reconstruction instead of crashing on min() of an
+        # empty array
+        pts_all = np.zeros((1, 3))
     vol = TSDFVolume(pts_all.min(0) - 0.5, pts_all.max(0) + 0.5,
                      voxel_length, sdf_trunc)
     for (im, depth), w2c in zip(frames, poses):

@@ -173,8 +173,14 @@ class VisualOdometer:
 
     @staticmethod
     def _gray(image: np.ndarray) -> jnp.ndarray:
+        # scale by DTYPE, not by a per-frame value heuristic: a nearly-black
+        # 0-255 frame (exposure glitch — exactly when the rescue odometer
+        # runs) would otherwise skip the /255 and the hybrid photometric
+        # residual would compare inconsistently scaled frames. The loader
+        # contract is uint8-range color; float inputs already in [0, 1]
+        # pass through unscaled.
         img = np.asarray(image, np.float32)
-        if img.max() > 2.0:
+        if image.dtype == np.uint8 or img.max() > 1.001:
             img = img / 255.0
         return jnp.asarray(img @ np.array([0.299, 0.587, 0.114], np.float32))
 

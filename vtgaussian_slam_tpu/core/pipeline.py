@@ -441,12 +441,9 @@ class VTGaussianSLAM:
 
         parts = [(pts, cols, msq, keep)]
         # hi-res densification stream masked by the Canny edge mask (:214-246)
-        edge = self._edge_mask_for(color0, self.densify_cam.width,
-                                   self.densify_cam.height)
         dframe = self._densify_frame(0) if self.sep_densify else frame
-        dmask = edge if self.sep_densify else self._edge_mask_for(
-            color0, self.cam.width, self.cam.height)
         dcam = self.densify_cam if self.sep_densify else self.cam
+        dmask = self._edge_mask_for(color0, dcam.width, dcam.height)
         dpts, dcols, dmsq, dkeep = first_frame_pointcloud(
             dframe, dcam, mask=jnp.asarray(dmask))
         parts.append((dpts, dcols, dmsq, dkeep))
@@ -458,8 +455,8 @@ class VTGaussianSLAM:
         self._frame0 = frame
 
     def _new_section_from_parts(self, parts, timestep, depth_max):
-        self.map_store.reset()  # caches belong to the previous section
         """Compact (points, colors, msq, keep) part lists into a new Section."""
+        self.map_store.reset()  # caches belong to the previous section
         pts = jnp.concatenate([p[0] for p in parts])
         cols = jnp.concatenate([p[1] for p in parts])
         msq = jnp.concatenate([p[2] for p in parts])
@@ -746,8 +743,10 @@ class VTGaussianSLAM:
                         cfg.get("odometry_type") != "odometer":
                     lc, ld, _, _ = self.dataset[t - 1]
                     self.odometer.update_last_rgbd(lc, ld)
-                    cc, cd, _, _ = self.dataset[t]
-                    rel = self.odometer.estimate_rel_pose(cc, cd)
+                    # current frame color already loaded by process_frame;
+                    # only the depth needs a host copy
+                    cd = np.asarray(frame.depth[0])
+                    rel = self.odometer.estimate_rel_pose(frame_color_np, cd)
                     odometer_rel = jnp.asarray(rel, jnp.float32)
             if odometer_rel is not None:
                 q0, tr0 = _pose_from_rel(self.traj.quats, self.traj.trans,
@@ -1088,18 +1087,34 @@ class VTGaussianSLAM:
                     sum(int(self._sec(i).n_active)
                         for i in self.fixed_section_ids), self.quantum)
                 gkey = (self.fixed_section_ids, sec.capacity, fixed_cap,
-                        mpt, start)
+                        mpt, self._mpt_boost, start)
                 cached = getattr(self, "_gcache", None)
                 if (cached is None or self._gcache_key != gkey
                         or self._gcache_age >= refresh_every):
                     fixed_params, fixed_active = fixed_concat()
                     bq, bt = _traj_read(self.traj.quats, self.traj.trans,
                                         start)
+                    # the global concat holds ~2-3x one section's gaussians:
+                    # size its pair budget from the CONCAT count, not the
+                    # per-section mpt (tab shapes key the jit cache; the
+                    # ladder keeps the bucket count small)
+                    tiles = (-(-self.cam.width // 16)) * \
+                        (-(-self.cam.height // 16))
+                    g_mpt = auto_pair_budget(
+                        int(sec.n_active) + int(jnp.sum(fixed_active)),
+                        tiles, span_cap, mpt, boost=self._mpt_boost)
                     gcache = build_global_cache(
                         fixed_params, fixed_active, sec.params, active, bq,
                         bt, self.cam, span_cap=span_cap,
-                        max_pairs_per_tile=mpt, tile_pad=self.tile_pad)
+                        max_pairs_per_tile=g_mpt, tile_pad=self.tile_pad)
                     jax.block_until_ready(gcache.counts)
+                    # truncation telemetry for the global binning too (the
+                    # tracking-cache loop is the boost driver; this records
+                    # the red flag)
+                    g_trunc = float((np.asarray(gcache.counts)[:tiles]
+                                     >= g_mpt).mean())
+                    self.stats["tile_truncation_frac_max"] = max(
+                        self.stats["tile_truncation_frac_max"], g_trunc)
                     self._gcache, self._gcache_key = gcache, gkey
                     self._gcache_age = 1
                 else:
@@ -1170,12 +1185,9 @@ class VTGaussianSLAM:
         w2c = jnp.asarray(self._traj_w2c_np(t), jnp.float32)
         pts, cols, msq, keep = base_frame_pointcloud(frame, self.cam, w2c)
         parts = [(pts, cols, msq, keep)]
-        edge = self._edge_mask_for(color_np, self.densify_cam.width,
-                                   self.densify_cam.height)
         dframe = self._densify_frame(t) if self.sep_densify else frame
         dcam = self.densify_cam if self.sep_densify else self.cam
-        dmask = edge if self.sep_densify else self._edge_mask_for(
-            color_np, self.cam.width, self.cam.height)
+        dmask = self._edge_mask_for(color_np, dcam.width, dcam.height)
         dpts, dcols, dmsq, dkeep = base_frame_pointcloud(
             dframe, dcam, w2c, mask=jnp.asarray(dmask))
         parts.append((dpts, dcols, dmsq, dkeep))

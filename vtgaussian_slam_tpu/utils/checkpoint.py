@@ -63,6 +63,13 @@ def save_checkpoint(engine, time_idx: int) -> str:
         "depth_means": engine.depth_means,
         "num_gs_per_frame_ls": engine.num_gs_per_frame_ls,
         "stats": engine.stats,
+        # learned runtime state a resumed run must not re-learn: the
+        # scannetpp init-error probe history (the rescue median) and the
+        # closed-loop pair-budget boost
+        "frame_color_loss": engine.frame_color_loss,
+        "frame_depth_loss": engine.frame_depth_loss,
+        "mpt_boost": engine._mpt_boost,
+        "boost_seen_mpt": engine._boost_seen_mpt,
     }
     blobs["meta_json"] = np.frombuffer(
         json.dumps(meta, default=str).encode(), dtype=np.uint8)
@@ -143,4 +150,8 @@ def load_checkpoint(engine, path: str | None = None,
     engine.depth_means = meta["depth_means"]
     engine.num_gs_per_frame_ls = meta["num_gs_per_frame_ls"]
     engine.stats = meta["stats"]
+    engine.frame_color_loss = meta.get("frame_color_loss", [])
+    engine.frame_depth_loss = meta.get("frame_depth_loss", [])
+    engine._mpt_boost = int(meta.get("mpt_boost", 1))
+    engine._boost_seen_mpt = int(meta.get("boost_seen_mpt", 0))
     return meta["time_idx"] + 1

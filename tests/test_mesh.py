@@ -62,7 +62,7 @@ class TestTSDF:
         vol = TSDFVolume([-1.0, -0.8, 1.2], [1.0, 0.8, 1.8], 0.03)
         vol.integrate(color, depth, K, np.eye(4))
         verts, faces = vol.extract_mesh()
-        verts2, faces2 = clean_mesh(verts, faces, min_faces=10)
+        verts2, faces2 = clean_mesh(verts, faces, min_verts=10)
         assert len(faces2) > 0
         acc, comp = accuracy_completion(verts2, faces2, verts, faces,
                                         n_samples=40000)
@@ -85,7 +85,7 @@ class TestCleanMesh:
                         np.arange(2, n_fan + 1)], -1)
         tiny = np.array([[n_fan + 1, n_fan + 2, n_fan + 3]]) - 1 + 1
         faces = np.concatenate([fan, tiny])
-        v2, f2 = clean_mesh(verts, faces, min_faces=5)
+        v2, f2 = clean_mesh(verts, faces, min_verts=5)
         assert len(f2) == len(fan)
 
     def test_sample_surface(self):

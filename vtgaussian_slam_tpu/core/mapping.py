@@ -261,11 +261,12 @@ def map_frame_binned(
     uniform over the pinned base frame + the most recent window."""
     from .map_cache import render_binned, render_binned_global
 
-    # larger walk chunks amortize per-chunk loop/issue overhead (see
-    # track_frame_cached)
-    mpt = kfc.tab.shape[-1]
-    chunk = (512 if mpt % 512 == 0 else
-             256 if mpt % 256 == 0 else 128)
+    from ..ops.rasterizer.pallas_splat import pick_walk_chunk
+    # ONE chunk must divide BOTH the per-keyframe and the global binning's
+    # slot dims (their pair budgets differ; see pick_walk_chunk). The
+    # use_global=False dummy cache (mpt 128) must NOT drag the chunk down.
+    chunk = pick_walk_chunk(kfc.tab.shape[-1],
+                            *([gc.tab.shape[-1]] if cfg.use_global else []))
 
     def render_local(v8, k):
         return render_binned(v8, k, cam, chunk)

@@ -114,7 +114,6 @@ def rgbd_odometry_multi_scale(
             r = jnp.where(ok, jnp.sum(N * dp, -1), 0.0)
             Jw = jnp.cross(warped, N)      # d r / d omega
             J = jnp.where(ok[:, None], jnp.concatenate([Jw, N], -1), 0.0)
-            wgt = ok.astype(sd.dtype)
             JTJ = J.T @ J
             JTr = J.T @ r
             if hybrid:

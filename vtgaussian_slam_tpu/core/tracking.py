@@ -182,11 +182,8 @@ def track_frame_cached(
     no pair sort, no record gather."""
     from .track_cache import render_cached
 
-    # larger walk chunks amortize per-chunk loop/issue overhead: 256 lanes
-    # measured 26.3 -> 20.1 ms fwd+bwd at the Replica working set
-    mpt = cache.slots8.shape[2]
-    chunk = (512 if mpt % 512 == 0 else
-             256 if mpt % 256 == 0 else 128)
+    from ..ops.rasterizer.pallas_splat import pick_walk_chunk
+    chunk = pick_walk_chunk(cache.slots8.shape[2])
 
     def render_fn(quat, trans):
         return render_cached(cache, quat, trans, cam, chunk=chunk)

@@ -9,10 +9,11 @@ cleaning (/root/reference/utils/evaluate_reconstruction.py:200-254).
   (voxel -> camera projection, SDF truncation at `sdf_trunc`, running
   weighted average). Reference parameters: voxel_length 5/512, sdf_trunc
   0.04, depth_trunc 16 (:644-656).
-- `marching_cubes`: single-pass numpy implementation over the fused grid
-  (the classic 15-case edge/triangle tables), host-side — mesh extraction is
-  a one-shot postprocess, not a hot path.
-- `clean_mesh`: drop connected components with < min_faces triangles.
+- `marching_cubes`: single-pass numpy marching-TETRAHEDRA implementation
+  over the fused grid (6 tets per cube, table-free, watertight), host-side —
+  mesh extraction is a one-shot postprocess, not a hot path.
+- `clean_mesh`: drop connected components with < min_verts vertices (the
+  reference's threshold semantics).
 - `accuracy_completion`: point-sampled accuracy/completion between meshes
   (scipy cKDTree), the metric pair of `evaluate_3d_reconstruction`.
 """
@@ -22,11 +23,8 @@ import functools
 
 import numpy as np
 
-try:
-    import jax
-    import jax.numpy as jnp
-except ImportError:  # pragma: no cover
-    jax = None
+import jax
+import jax.numpy as jnp
 
 
 class TSDFVolume:
@@ -102,33 +100,21 @@ def _integrate(tsdf, weight, color_vol, color, depth, K, w2c, origin,
 
 
 # ---------------------------------------------------------------------------
-# Marching cubes (classic Lorensen & Cline tables, public domain constants)
+# Iso-surface extraction: marching TETRAHEDRA (6 tets per cube) — table-free
+# and watertight; slightly more triangles than classic marching cubes
 # ---------------------------------------------------------------------------
-_EDGE_SPEC = [  # edge -> (corner a, corner b)
-    (0, 1), (1, 2), (2, 3), (3, 0),
-    (4, 5), (5, 6), (6, 7), (7, 4),
-    (0, 4), (1, 5), (2, 6), (3, 7),
-]
 _CORNER = np.array([
     [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
     [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
 ])
 
 
-@functools.lru_cache(maxsize=1)
-def _tri_table():
-    """Generate the 256-case triangle table from the 15 base cases by
-    symmetry is error-prone; instead assemble it procedurally: for each case,
-    triangulate the iso-surface polygon inside the cube by splitting each
-    surface crossing into triangles via a marching-tetrahedra decomposition
-    (6 tets per cube). Slightly more triangles than classic MC, but
-    table-free and watertight."""
-    # tetrahedra (corner indices) decomposing the cube
-    tets = np.array([
-        [0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
-        [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6],
-    ])
-    return tets
+# the 6 tetrahedra (corner indices) decomposing a cube — all sharing the
+# 0-6 diagonal so neighboring cubes tile compatibly (watertight surface)
+_TETS = np.array([
+    [0, 5, 1, 6], [0, 1, 2, 6], [0, 2, 3, 6],
+    [0, 3, 7, 6], [0, 7, 4, 6], [0, 4, 5, 6],
+])
 
 
 def marching_cubes(volume: np.ndarray, level: float = 0.0):
@@ -158,7 +144,7 @@ def marching_cubes(volume: np.ndarray, level: float = 0.0):
         [vol[cells[:, 0] + dx, cells[:, 1] + dy, cells[:, 2] + dz]
          for dx, dy, dz in _CORNER], -1)  # (M, 8)
 
-    tets = _tri_table()
+    tets = _TETS
     verts_out = []
     faces_out = []
     vert_count = 0
@@ -224,9 +210,12 @@ _MT_CASES = {
 }
 
 
-def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_faces: int = 200):
-    """Remove connected components with fewer than `min_faces` triangles
-    (reference: evaluate_reconstruction.py:200-254)."""
+def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_verts: int = 200):
+    """Remove connected components with fewer than `min_verts` VERTICES —
+    the reference's threshold is on component vertex count, and it keeps
+    faces touching any kept component
+    (evaluate_reconstruction.py:200-254: `len(c) >= min_len` over vertex
+    index arrays, faces via `np.any(np.isin(faces, component))`)."""
     if len(faces) == 0:
         return verts, faces
     import scipy.sparse as sp
@@ -236,10 +225,9 @@ def clean_mesh(verts: np.ndarray, faces: np.ndarray, min_faces: int = 200):
     cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
     adj = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
     n_comp, labels = sp.csgraph.connected_components(adj, directed=False)
-    face_label = labels[faces[:, 0]]
-    keep_labels = {l for l in range(n_comp)
-                   if (face_label == l).sum() >= min_faces}
-    keep = np.isin(face_label, list(keep_labels))
+    comp_sizes = np.bincount(labels, minlength=n_comp)
+    vert_keep = comp_sizes[labels] >= min_verts
+    keep = vert_keep[faces].any(axis=1)
     faces = faces[keep]
     used = np.unique(faces)
     remap = -np.ones(n, int)
@@ -359,11 +347,26 @@ def render_mesh_depth(verts: jnp.ndarray, faces: jnp.ndarray,
 
 
 def subdivide_to_edge(verts: np.ndarray, faces: np.ndarray,
-                      max_edge: float, max_rounds: int = 4):
+                      max_edge: float, max_rounds: int | None = None):
     """Midpoint 1->4 subdivision of faces whose longest edge exceeds
-    `max_edge` (keeps the rasterizer's fixed screen window valid)."""
+    `max_edge` (keeps the rasterizer's fixed screen window valid).
+
+    Rounds adapt to the actual longest edge (each round halves edges) — a
+    fixed small cap silently left faces longer than max_edge, which the
+    16-px rasterizer window then rasterized only partially."""
     verts = np.asarray(verts, np.float64)
     faces = np.asarray(faces, np.int64)
+    if max_rounds is None:
+        if len(faces):
+            e = verts[faces]
+            longest = max(
+                float(np.linalg.norm(e[:, 0] - e[:, 1], axis=1).max()),
+                float(np.linalg.norm(e[:, 1] - e[:, 2], axis=1).max()),
+                float(np.linalg.norm(e[:, 2] - e[:, 0], axis=1).max()))
+            max_rounds = max(int(np.ceil(np.log2(
+                max(longest / max(max_edge, 1e-9), 1.0)))), 0) + 1
+        else:
+            max_rounds = 0
     for _ in range(max_rounds):
         if len(faces) == 0:
             break
@@ -526,45 +529,3 @@ def calc_2d_metric(rec_verts, rec_faces, gt_verts, gt_faces,
             errors.append(np.abs(gt_d[m] - rec_d[m]).mean())
     return {"depth l1": float(np.mean(errors) * 100) if errors
             else float("nan")}
-
-
-def eval_recon_from_renders(render_fn, poses_w2c, intrinsics, num_frames,
-                            voxel_length: float = 5.0 / 512,
-                            sdf_trunc: float = 0.04,
-                            bounds_pad: float = 0.5):
-    """TSDF-fuse rendered RGB-D at estimated poses and extract the mesh —
-    the `eval_recon` capability (/root/reference/utils/eval_helpers.py:633).
-
-    `render_fn(t) -> (color (H,W,3) [0,1], depth (H,W))`.
-
-    Note: `sdf_trunc` must exceed `voxel_length` (ideally >= 2x) or no voxel
-    straddles the truncation band and the extracted mesh is empty.
-    """
-    # first pass: scene bounds from backprojected depths (subsampled)
-    pts_all = []
-    frames = []
-    for t in range(num_frames):
-        color, depth = render_fn(t)
-        frames.append((np.asarray(color), np.asarray(depth)))
-        H, W = depth.shape
-        ys, xs = np.mgrid[0:H:8, 0:W:8]
-        z = np.asarray(depth)[ys, xs]
-        K = np.asarray(intrinsics)
-        x = (xs - K[0, 2]) / K[0, 0] * z
-        y = (ys - K[1, 2]) / K[1, 1] * z
-        pc = np.stack([x, y, z], -1).reshape(-1, 3)
-        c2w = np.linalg.inv(np.asarray(poses_w2c[t], np.float64))
-        pts = pc @ c2w[:3, :3].T + c2w[:3, 3]
-        pts_all.append(pts[z.reshape(-1) > 0])
-    pts_all = np.concatenate(pts_all)
-    bmin = pts_all.min(0) - bounds_pad
-    bmax = pts_all.max(0) + bounds_pad
-
-    vol = TSDFVolume(bmin, bmax, voxel_length, sdf_trunc)
-    for t in range(num_frames):
-        color, depth = frames[t]
-        vol.integrate(color, depth, np.asarray(intrinsics)[:3, :3],
-                      np.asarray(poses_w2c[t]))
-    verts, faces = vol.extract_mesh()
-    verts, faces = clean_mesh(verts, faces)
-    return verts, faces, vol.vertex_colors(verts)

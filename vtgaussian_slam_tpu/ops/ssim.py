@@ -107,9 +107,13 @@ def ms_ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
             # form cancels catastrophically at f32 on near-identical
             # images, letting per-patch cs exceed 1
             mcs.append(jnp.clip(jnp.mean(cs_map), 0.0, 1.0))
+            # pytorch_msssim parity: odd dims get avg_pool2d(kernel 2,
+            # padding=1, count_include_pad=True) — ZERO pad on both sides,
+            # zeros included in the /4 average (an edge-pad-right pool
+            # shifts the grid by one pixel on every odd level)
             pad_h, pad_w = x.shape[1] % 2, x.shape[2] % 2
-            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
-            y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
+            x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)))
+            y = jnp.pad(y, ((0, 0), (pad_h, pad_h), (pad_w, pad_w)))
             x = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),
                                       "VALID") / 4.0
             y = jax.lax.reduce_window(y, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2),

@@ -131,9 +131,8 @@ def make_track_frame_cached_sharded(mesh: Mesh):
             cam: Camera, cfg: TrackingConfig):
         from ..ops import geometry as geo
 
-        mpt = cache.slots8.shape[2]
-        chunk = (512 if mpt % 512 == 0 else
-                 256 if mpt % 256 == 0 else 128)
+        from ..ops.rasterizer.pallas_splat import pick_walk_chunk
+        chunk = pick_walk_chunk(cache.slots8.shape[2])
         Tp = cache.slots8.shape[0]
         assert Tp % (n_dev * BLOCK) == 0, (Tp, n_dev)
         tiles_x = -(-cam.width // 16)
@@ -248,9 +247,10 @@ def make_map_frame_binned_sharded(mesh: Mesh):
             cam: Camera, cfg: MappingConfig):
         from ..ops import geometry as geo
 
-        mpt = kfc.tab.shape[-1]
-        chunk = (512 if mpt % 512 == 0 else
-                 256 if mpt % 256 == 0 else 128)
+        from ..ops.rasterizer.pallas_splat import pick_walk_chunk
+        chunk = pick_walk_chunk(
+            kfc.tab.shape[-1],
+            *([gc.tab.shape[-1]] if cfg.use_global else []))
         tiles_x = -(-cam.width // 16)
         Tp = kfc.tab.shape[1]
         assert Tp % (n_dev * BLOCK) == 0, (Tp, n_dev)

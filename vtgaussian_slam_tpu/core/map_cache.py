@@ -108,7 +108,12 @@ def build_kf_cache(
     q = geo.normalize(cam_quat)
     R = geo.quat_to_rotmat(q)
     means_cam = params.means3d @ R.T + cam_trans
-    proj = project_gaussians(means_cam, params.unnorm_rotations,
+    # anisotropic covariances live in WORLD frame: rotate into camera frame
+    # like render_slam does (isotropic quats are rotation-invariant)
+    quats = (params.unnorm_rotations if params.isotropic else
+             geo.quat_mult(q[None, :],
+                           geo.normalize(params.unnorm_rotations)))
+    proj = project_gaussians(means_cam, quats,
                              jnp.exp(params.log_scales), params.opacities(),
                              cam, active)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
@@ -154,6 +159,8 @@ def build_global_cache(
     q = geo.normalize(cam_quat)
     R = geo.quat_to_rotmat(q)
     means_cam = means @ R.T + cam_trans
+    if log_scales.shape[1] == 3:   # anisotropic: world -> camera frame
+        quats = geo.quat_mult(q[None, :], geo.normalize(quats))
     proj = project_gaussians(means_cam, quats, jnp.exp(log_scales),
                              jax.nn.sigmoid(logit_op[:, 0]), cam, act)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,

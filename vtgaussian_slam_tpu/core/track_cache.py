@@ -104,7 +104,13 @@ def build_track_cache(
     R = geo.quat_to_rotmat(q)
     means_cam = params.means3d @ R.T + cam_trans
     scales = jnp.exp(params.log_scales)
-    proj = project_gaussians(means_cam, params.unnorm_rotations, scales,
+    # the cache is isotropic-only on the engine path (module docstring),
+    # but direct API use with anisotropic params still gets correct EWA:
+    # rotate world-frame covariances into the camera frame like render_slam
+    quats = (params.unnorm_rotations if params.isotropic else
+             geo.quat_mult(q[None, :],
+                           geo.normalize(params.unnorm_rotations)))
+    proj = project_gaussians(means_cam, quats, scales,
                              params.opacities(), cam, active)
 
     binned = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt)

@@ -24,6 +24,7 @@ class FramePrefetcher:
                  cache_size: int = 8):
         self._ds = dataset
         self._lookahead = lookahead
+        self._cache_size = max(cache_size, 2 * lookahead + 2)
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._futures: OrderedDict[int, Future] = OrderedDict()
         self._lock = threading.Lock()
@@ -31,22 +32,38 @@ class FramePrefetcher:
     def __len__(self):
         return len(self._ds)
 
-    def _submit(self, idx: int):
-        if 0 <= idx < len(self._ds) and idx not in self._futures:
-            self._futures[idx] = self._pool.submit(self._ds.__getitem__, idx)
-            while len(self._futures) > 2 * self._lookahead + 4:
-                self._futures.popitem(last=False)
+    def _touch(self, idx: int):
+        """Submit (or refresh LRU position of) one index. Marking hits as
+        most-recent is what keeps the CURRENT index alive while its
+        lookahead submissions evict — without it, interleaved far-away
+        reads (keyframe fetches between sequential frames) could evict the
+        very future __getitem__ is about to read."""
+        if not (0 <= idx < len(self._ds)):
+            return
+        if idx in self._futures:
+            self._futures.move_to_end(idx)
+            return
+        self._futures[idx] = self._pool.submit(self._ds.__getitem__, idx)
+        while len(self._futures) > self._cache_size:
+            _, old = self._futures.popitem(last=False)
+            old.cancel()  # still-queued decodes of evicted frames are wasted
 
     def __getitem__(self, idx: int):
         with self._lock:
-            self._submit(idx)
+            self._touch(idx)
             for ahead in range(1, self._lookahead + 1):
-                self._submit(idx + ahead)
+                self._touch(idx + ahead)
             fut = self._futures[idx]
-        return fut.result()
+        res = fut.result()
+        return res
 
     def __getattr__(self, name):
-        # transparent proxy for dataset attributes (intrinsics, poses, ...)
+        # transparent proxy for dataset attributes (intrinsics, poses, ...);
+        # guard dunder/underscore lookups so half-constructed copies
+        # (deepcopy/unpickle probe __setstate__ before __init__ ran) raise
+        # AttributeError instead of recursing through self._ds
+        if name.startswith("_"):
+            raise AttributeError(name)
         return getattr(self._ds, name)
 
     def close(self):

@@ -322,4 +322,7 @@ def constant_velocity_init_multiavg(
     c2w2 = invert_se3(w2c_prev2)
     c2w3 = invert_se3(w2c_prev3)
     avg_rel = 0.5 * (c2w2 @ invert_se3(c2w3) + c2w1 @ invert_se3(c2w2))
-    return invert_se3(avg_rel @ c2w1)
+    # the elementwise average is NOT rigid (its 3x3 block is not
+    # orthonormal), so the transpose-based invert_se3 would return a wrong
+    # inverse — use the general inverse like the reference's torch.inverse
+    return jnp.linalg.inv(avg_rel @ c2w1)

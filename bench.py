@@ -52,6 +52,10 @@ def bench_config():
 
     config = make_config("replica", "room0proxy", seed=2,
                          baseframe_every=BFE)
+    # the reference's self-reported per-iteration timings bracket only the
+    # track/map loops — its wandb/report_progress work is outside the
+    # timers — so the bench disables reporting to compare like for like
+    config["use_wandb"] = False
     config["workdir"] = "/tmp/vtgs_bench"
     config["data"] = dict(
         dataset_name="synthetic",

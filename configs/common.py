@@ -8,8 +8,6 @@ by `python src/vtgaussian_slam.py configs/<dataset>/<scene>.py`.
 """
 from __future__ import annotations
 
-import copy
-
 # per-dataset knob tables
 # replica:    /root/reference/configs/replica/room0.py
 # tum:        /root/reference/configs/tum/fr1_config.py
@@ -44,7 +42,7 @@ _DATASETS = {
         group="ScanNet", basedir="./data/scannet",
         data_cfg="./configs/data/scannet.yaml",
         H=480, W=640, dH=960, dW=1280,
-        baseframe_every=30, overlap_every=5, far_depth_factor=1.5,
+        baseframe_every=30, overlap_every=5, far_depth_factor=3.5,
         eval_every=500, scene_radius_depth_ratio=3,
         track=dict(num_iters=100, base1_num_iters=100, sil_thres=0.98,
                    ignore_outlier=False, im=0.5, depth=0.1,
@@ -94,7 +92,9 @@ def make_config(dataset: str, scene_name: str, seed: int = 2,
         checkpoint_time_idx=0,
         save_checkpoints=False,
         checkpoint_interval=100,
-        use_wandb=False,
+        # reference configs all set use_wandb=True; the logger
+        # degrades to JSONL when wandb is not installed
+        use_wandb=True,
         baseframe_every=d["baseframe_every"],
         wandb=dict(entity="", project="VTGaussian-SLAM-TPU",
                    group=d["group"], name=run_name,

@@ -3,4 +3,10 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 from configs.common import make_config
 
-config = make_config("scannetpp", "b20a261fdf", seed=2, num_frames=250)
+config = make_config(
+    "scannetpp", "b20a261fdf", seed=2, num_frames=250,
+    # reference b2_config.py: bfe 50, hybrid odometer,
+    # cam_trans lr 0.004, map 60
+    baseframe_every=50, odometer_method="hybrid",
+    tracking=dict(lrs=dict(cam_trans=0.004)),
+    mapping=dict(num_iters=60))

@@ -1253,15 +1253,17 @@ class VTGaussianSLAM:
                 cq, ct = _traj_read(self.traj.quats, self.traj.trans, t)
                 r = render_slam(sec.params, sec.active_mask(), cq, ct,
                                 self.cam, dict(self.backend_kwargs))
+                # the reference's global progress report masks with the
+                # TRACKING silhouette threshold (:2331-2335)
                 psnr, depth_rmse, _, _ = frame_quality(
-                    r, frame, self.config["mapping"]["sil_thres"])
+                    r, frame, self.config["tracking"]["sil_thres"])
                 report_progress(self.logger, t, self._traj_w2c_np(t),
                                 self.gt_w2c, psnr=psnr,
                                 depth_rmse=depth_rmse)
                 save_progress_panel(
                     os.path.join(cfg["workdir"], cfg["run_name"], "plots",
                                  f"frame_{t:05d}.png"),
-                    r, frame, self.config["mapping"]["sil_thres"],
+                    r, frame, self.config["tracking"]["sil_thres"],
                     title=f"frame {t}: PSNR {psnr:.2f}  "
                           f"depth RMSE {depth_rmse:.3f}")
             except Exception:

@@ -89,14 +89,20 @@ def lpips_fn(weights: dict | None = None):
     if weights is None or jax is None:
         return None
 
-    # remap torch-style names
+    # remap torch-style names (KeyError -> the documented return-None
+    # degradation, not a crash: a weight key without its bias twin means a
+    # filtered/partial conversion)
     params = {}
     conv_i = 0
-    for k in sorted(weights):
-        if ".weight" in k and k.startswith("net"):
-            params[f"conv{conv_i}.weight"] = weights[k]
-            params[f"conv{conv_i}.bias"] = weights[k.replace("weight", "bias")]
-            conv_i += 1
+    try:
+        for k in sorted(weights):
+            if ".weight" in k and k.startswith("net"):
+                params[f"conv{conv_i}.weight"] = weights[k]
+                params[f"conv{conv_i}.bias"] = \
+                    weights[k.replace("weight", "bias")]
+                conv_i += 1
+    except KeyError:
+        return None
     lins = [weights[k] for k in sorted(weights) if "lin" in k and "weight" in k]
     if conv_i != 5 or len(lins) != 5:
         # fall back to direct names conv0..4 / lin0..4

@@ -59,7 +59,12 @@ def convert_state_dict(state: dict) -> dict:
 def convert(pth_path: str, npz_path: str) -> dict:
     import torch
 
-    state = torch.load(pth_path, map_location="cpu", weights_only=True)
+    try:
+        state = torch.load(pth_path, map_location="cpu", weights_only=True)
+    except Exception:
+        # a pickled full module (torch.save(model, ...)) cannot load under
+        # weights_only — retry unrestricted, then unwrap
+        state = torch.load(pth_path, map_location="cpu", weights_only=False)
     if hasattr(state, "state_dict"):
         state = state.state_dict()
     if "state_dict" in state and isinstance(state["state_dict"], dict):

@@ -86,9 +86,10 @@ def report_progress(logger: RunLogger, time_idx: int, est_w2c, gt_w2c_list,
     try:
         gt = np.asarray(gt_w2c_list[time_idx], np.float64)
         est = np.asarray(est_w2c, np.float64)
-        err = np.linalg.norm(np.linalg.inv(est)[:3, 3]
-                             - np.linalg.inv(gt)[:3, 3])
-        rec["Tracking/Latest Pose Error"] = err
+        # reference (eval_helpers.py:209): distance between the w2c
+        # TRANSLATION columns directly, not between camera centers
+        rec["Tracking/Latest Pose Error"] = float(
+            np.linalg.norm(est[:3, 3] - gt[:3, 3]))
     except Exception:
         pass
     if psnr is not None:
@@ -110,14 +111,19 @@ def frame_quality(render, frame, sil_thres: float):
     depth = np.asarray(render.depth)[0]
     gt_depth = np.asarray(frame.depth)[0]
     sil = np.asarray(render.silhouette)
-    mask = (sil > sil_thres) & (gt_depth > 0)
-    n = max(int(mask.sum()), 1)
+    presence = sil > sil_thres
+    valid = gt_depth > 0
+    mask = presence & valid
 
-    mse = float(((im - gt_im) ** 2 * mask[None]).sum()) / (3 * n)
+    # reference formulas (eval_helpers.py:249-260 + calc_psnr): PSNR of the
+    # presence-masked images with MSE over ALL pixels; depth errors masked
+    # by presence but normalized by the VALID-depth count
+    mse = float(((im * presence[None] - gt_im * presence[None]) ** 2).mean())
     psnr = float(-10.0 * np.log10(max(mse, 1e-12)))
-    derr = (depth - gt_depth) * mask
-    depth_rmse = float(np.sqrt((derr ** 2).sum() / n))
-    depth_l1 = float(np.abs(derr).sum() / n)
+    nv = max(int(valid.sum()), 1)
+    derr = (depth - gt_depth) * presence * valid
+    depth_rmse = float(np.abs(derr).sum() / nv)  # elementwise-sqrt quirk
+    depth_l1 = float(np.abs(derr).sum() / nv)
     return psnr, depth_rmse, depth_l1, mask
 
 
@@ -183,7 +189,7 @@ def save_tracking_loss_viz(path: str, render, frame, sil_thres: float,
     if title:
         fig.suptitle(title)
     fig.tight_layout()
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, bbox_inches="tight", dpi=90)
     plt.close(fig)
 
@@ -225,6 +231,6 @@ def save_progress_panel(path: str, render, frame, sil_thres: float,
         a.axis("off")
     if title:
         fig.suptitle(title)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fig.savefig(path, bbox_inches="tight", dpi=90)
     plt.close(fig)

@@ -124,3 +124,107 @@ class TestDataConfig:
         assert cfg["camera_params"]["fx"] == 300.0
         assert cfg["camera_params"]["fy"] == 600.0
         assert cfg["dataset_name"] == "replica"
+
+
+def _cam_cfg(H, W, name, scale=6553.5):
+    return {
+        "dataset_name": name,
+        "camera_params": dict(image_height=H, image_width=W, fx=60.0, fy=60.0,
+                              cx=W / 2, cy=H / 2, png_depth_scale=scale,
+                              crop_edge=0),
+    }
+
+
+class TestReplicaV2Loader:
+    def _make(self, root, split, n, H=24, W=32, offset=0.0):
+        seq = root / "room_0" / split
+        os.makedirs(seq / "rgb")
+        os.makedirs(seq / "depth")
+        rng = np.random.default_rng(1)
+        with open(seq / "traj_w_c.txt", "w") as f:
+            for i in range(n):
+                img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+                cv2.imwrite(str(seq / "rgb" / f"rgb_{i}.png"), img)
+                write_png16(seq / "depth" / f"depth_{i}.png",
+                            np.full((H, W), 2.0), 6553.5)
+                T = np.eye(4)
+                T[:3, 3] = [offset + 0.1 * i, 0, 0]
+                f.write(" ".join(str(v) for v in T.reshape(-1)) + "\n")
+
+    def test_test_split_anchors_on_first_train_frame(self, tmp_path):
+        """The reference prepends imap/00's first frame to the imap/01 split
+        (replica.py:108-129) so relative poses anchor on the TRAIN world
+        frame — without it a train-split map evaluates misaligned."""
+        self._make(tmp_path, "imap/00", 2, offset=0.0)
+        self._make(tmp_path, "imap/01", 3, offset=5.0)
+        cfg = _cam_cfg(24, 32, "replicaV2")
+        ds = get_dataset(cfg, str(tmp_path), "room_0", desired_height=24,
+                         desired_width=32, use_train_split=False)
+        assert len(ds) == 4  # prepended train frame + 3 test frames
+        _, _, _, p0 = ds[0]
+        _, _, _, p1 = ds[1]
+        # relative to the TRAIN frame: first test frame sits at x = +5.0
+        assert abs(float(np.asarray(p1)[0, 3]) - 5.0) < 1e-6
+        assert np.allclose(np.asarray(p0), np.eye(4), atol=1e-6)
+
+
+class TestICLLoader:
+    def test_gt_sim_pose_format(self, tmp_path):
+        """Reference icl.py parses *.gt.sim: 3 rows of 4 floats per pose."""
+        seq = tmp_path / "living_room"
+        os.makedirs(seq / "rgb")
+        os.makedirs(seq / "depth")
+        rng = np.random.default_rng(2)
+        rows = []
+        for i in range(2):
+            img = rng.uniform(0, 255, (24, 32, 3)).astype(np.uint8)
+            cv2.imwrite(str(seq / "rgb" / f"{i}.png"), img)
+            write_png16(seq / "depth" / f"{i}.png", np.full((24, 32), 2.0),
+                        6553.5)
+            T = np.eye(4)
+            T[:3, 3] = [0.2 * i, 0.1 * i, 0]
+            rows += [" ".join(str(v) for v in T[r]) for r in range(3)]
+        (seq / "lr.gt.sim").write_text("\n".join(rows) + "\n")
+        cfg = _cam_cfg(24, 32, "icl")
+        ds = get_dataset(cfg, str(tmp_path), "living_room",
+                         desired_height=24, desired_width=32)
+        _, _, _, p1 = ds[1]
+        assert abs(float(np.asarray(p1)[0, 3]) - 0.2) < 1e-6
+
+
+class TestAzureLoader:
+    def _frames(self, seq, n=2):
+        os.makedirs(seq / "color")
+        os.makedirs(seq / "depth")
+        rng = np.random.default_rng(3)
+        for i in range(n):
+            img = rng.uniform(0, 255, (24, 32, 3)).astype(np.uint8)
+            cv2.imwrite(str(seq / "color" / f"{i:05d}.jpg"), img)
+            write_png16(seq / "depth" / f"{i:05d}.png",
+                        np.full((24, 32), 2.0), 6553.5)
+
+    def test_log_odomfile(self, tmp_path):
+        """Reference azure.py parses .log odometry: 5 lines per frame."""
+        seq = tmp_path / "capture"
+        self._frames(seq)
+        lines = []
+        for i in range(2):
+            T = np.eye(4)
+            T[:3, 3] = [0.3 * i, 0, 0]
+            lines.append(f"{i} {i + 1}")
+            lines += [" ".join(str(v) for v in T[r]) for r in range(4)]
+        (seq / "odom.log").write_text("\n".join(lines) + "\n")
+        cfg = _cam_cfg(24, 32, "azure")
+        ds = get_dataset(cfg, str(tmp_path), "capture", desired_height=24,
+                         desired_width=32, odomfile="odom.log")
+        _, _, _, p1 = ds[1]
+        assert abs(float(np.asarray(p1)[0, 3]) - 0.3) < 1e-6
+
+    def test_no_poses_identity_fallback(self, tmp_path):
+        seq = tmp_path / "capture2"
+        self._frames(seq)
+        cfg = _cam_cfg(24, 32, "azure")
+        ds = get_dataset(cfg, str(tmp_path), "capture2", desired_height=24,
+                         desired_width=32)
+        _, _, _, p1 = ds[1]
+        assert np.allclose(np.asarray(p1), np.eye(4), atol=1e-6)

@@ -166,6 +166,8 @@ def init_section(
 def repad_section(section: Section, new_capacity: int) -> Section:
     """Grow (or shrink to >= n_active) a section's capacity. Host-side."""
     cap = section.capacity
+    assert new_capacity >= int(section.n_active), (
+        "repad below n_active would silently truncate live gaussians")
     if new_capacity == cap:
         return section
 

@@ -130,13 +130,18 @@ def densify_split_clone(section: Section, opt: AdamState | None, it: int,
     n = densify_dict["num_to_split_into"]
 
     # --- clones: exact copies appended to the tail
-    def append(sec_params, src_mask, new_means, new_log_scales, n_active):
+    def append(sec_params, ts_buf, src_mask, new_means, new_log_scales,
+               n_active):
         dest = n_active + jnp.cumsum(src_mask.astype(jnp.int32)) - 1
         dest = jnp.where(src_mask, dest, cap)
 
         def scat(buf, val):
             return buf.at[dest].set(val, mode="drop")
 
+        # clamp: rows the capacity-overflow scatter dropped must not be
+        # counted active (zero-filled slots would render as live blobs)
+        n_new = jnp.minimum(n_active + jnp.sum(src_mask.astype(jnp.int32)),
+                            cap)
         return GaussianParams(
             means3d=scat(sec_params.means3d, new_means),
             rgb_colors=scat(sec_params.rgb_colors, p.rgb_colors),
@@ -144,10 +149,10 @@ def densify_split_clone(section: Section, opt: AdamState | None, it: int,
                                   p.unnorm_rotations),
             logit_opacities=scat(sec_params.logit_opacities, p.logit_opacities),
             log_scales=scat(sec_params.log_scales, new_log_scales),
-        ), n_active + jnp.sum(src_mask.astype(jnp.int32))
+        ), scat(ts_buf, v.timestep), n_new
 
-    params, n_active = append(p, to_clone, p.means3d, p.log_scales,
-                              section.n_active)
+    params, timestep, n_active = append(p, v.timestep, to_clone, p.means3d,
+                                        p.log_scales, section.n_active)
 
     # --- splits: n jittered samples from each split Gaussian
     split_log_scales = p.log_scales - jnp.log(0.8 * n)
@@ -158,17 +163,18 @@ def densify_split_clone(section: Section, opt: AdamState | None, it: int,
     for k in range(n):
         eps = jax.random.normal(jax.random.fold_in(rng, k), (cap, 3))
         offset = jnp.einsum("nij,nj->ni", R, eps * scales3)
-        params, n_active = append(params, to_split, p.means3d + offset,
-                                  split_log_scales, n_active)
+        params, timestep, n_active = append(
+            params, timestep, to_split, p.means3d + offset,
+            split_log_scales, n_active)
 
     zeros = jnp.zeros((cap,), p.means3d.dtype)
     vars_ = GaussianVars(max_2d_radius=zeros, means2d_grad_accum=zeros,
-                         denom=zeros, timestep=v.timestep,
+                         denom=zeros, timestep=timestep,
                          scene_radius=v.scene_radius)
     section = Section(params=params, vars=vars_, n_active=n_active)
-    if opt is not None:
-        # new rows keep zero moments (cat_params_to_optimizer semantics)
-        opt = AdamState(mu=opt.mu, nu=opt.nu, count=opt.count)
+    # appended rows keep ZERO Adam moments — the invariant comes from
+    # adam_init/_compact zeroing tail slots, not from anything here
+    # (cat_params_to_optimizer semantics, slam_external.py:120-140)
 
     # remove split originals + low-opacity
     thresh_op = (densify_dict["final_removal_opacity_threshold"]

@@ -70,11 +70,26 @@ def save_checkpoint(engine, time_idx: int) -> str:
         "frame_depth_loss": engine.frame_depth_loss,
         "mpt_boost": engine._mpt_boost,
         "boost_seen_mpt": engine._boost_seen_mpt,
+        # RNG streams: without these, a resumed run replays selection /
+        # mapping-draw randomness from PRNGKey(seed) and silently diverges
+        # from the uninterrupted run
+        "np_rng_state": _np_rng_state_json(engine.np_rng),
     }
+    blobs["jax_rng_key"] = np.asarray(engine.rng)
     blobs["meta_json"] = np.frombuffer(
         json.dumps(meta, default=str).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **blobs)
+    # atomic write: a crash mid-save must not leave a truncated npz that
+    # the next resume picks as the latest checkpoint
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **blobs)
+    os.replace(tmp, path)
     return path
+
+
+def _np_rng_state_json(rng) -> list:
+    name, keys, pos, has_gauss, cached = rng.get_state()
+    return [name, np.asarray(keys).tolist(), int(pos), int(has_gauss),
+            float(cached)]
 
 
 def load_checkpoint(engine, path: str | None = None,
@@ -92,12 +107,26 @@ def load_checkpoint(engine, path: str | None = None,
         if time_idx is not None:
             name = f"ckpt_{time_idx:06d}.npz"
             cands = [c for c in cands if c == name]
+        cands = [c for c in cands if not c.endswith(".tmp.npz")]
         if not cands:
             raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
-        path = os.path.join(ckpt_dir, cands[-1])
-
-    data = np.load(path, allow_pickle=False)
-    meta = json.loads(bytes(data["meta_json"]).decode())
+        # fall back to older checkpoints if the newest fails to load
+        data = meta = None
+        for c in reversed(cands):
+            path = os.path.join(ckpt_dir, c)
+            try:
+                data = np.load(path, allow_pickle=False)
+                meta = json.loads(bytes(data["meta_json"]).decode())
+                break
+            except Exception as e:
+                print(f"WARNING: checkpoint {c} unreadable ({e}); "
+                      "trying the previous one")
+                data = meta = None
+        if data is None:
+            raise FileNotFoundError(f"no readable checkpoint in {ckpt_dir}")
+    else:
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(bytes(data["meta_json"]).decode())
 
     engine.sections = []
     for i in range(meta["n_sections"]):
@@ -154,4 +183,11 @@ def load_checkpoint(engine, path: str | None = None,
     engine.frame_depth_loss = meta.get("frame_depth_loss", [])
     engine._mpt_boost = int(meta.get("mpt_boost", 1))
     engine._boost_seen_mpt = int(meta.get("boost_seen_mpt", 0))
+    if "jax_rng_key" in data:
+        engine.rng = jnp.asarray(data["jax_rng_key"])
+    st = meta.get("np_rng_state")
+    if st:
+        engine.np_rng.set_state(
+            (st[0], np.asarray(st[1], np.uint32), int(st[2]), int(st[3]),
+             float(st[4])))
     return meta["time_idx"] + 1

@@ -38,7 +38,11 @@ def main():
     results_dir = os.path.join(config["workdir"], config["run_name"])
     if not config.get("load_checkpoint", False):
         os.makedirs(results_dir, exist_ok=True)
-        shutil.copy(args.experiment, os.path.join(results_dir, "config.py"))
+        dst = os.path.join(results_dir, "config.py")
+        # eval_mode commonly re-runs the results dir's own config.py —
+        # copying a file onto itself raises SameFileError
+        if not (os.path.exists(dst) and os.path.samefile(args.experiment, dst)):
+            shutil.copy(args.experiment, dst)
 
     from vtgaussian_slam_tpu.core.config import prepare_config
     from vtgaussian_slam_tpu.eval.evaluate import eval_sequence

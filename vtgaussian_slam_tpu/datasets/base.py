@@ -57,7 +57,10 @@ class RGBDDataset:
         self.orig_width = cp["image_width"]
         self.fx, self.fy = cp["fx"], cp["fy"]
         self.cx, self.cy = cp["cx"], cp["cy"]
-        self.distortion = np.array(cp["distortion"]) if "distortion" in cp else None
+        dist = cp.get("distortion")
+        # `distortion: null` in a YAML reaches here as None; np.array(None)
+        # would pass the is-not-None check and crash cv2.undistort
+        self.distortion = np.array(dist) if dist is not None else None
         self.crop_edge = cp.get("crop_edge", None)
 
         self.desired_height = desired_height
@@ -118,13 +121,19 @@ class RGBDDataset:
         return out
 
     def __getitem__(self, index: int):
+        if cv2 is None:
+            raise ImportError(
+                "opencv-python is required to decode dataset frames")
         color = self.read_color(self.color_paths[index])
-        if self.distortion is not None:
-            color = cv2.undistort(color, self.get_cam_K(), self.distortion)
         color = cv2.resize(
             color, (self.desired_width, self.desired_height),
             interpolation=cv2.INTER_LINEAR,
         )
+        if self.distortion is not None:
+            # reference order (basedataset.py:316-325): resize FIRST, then
+            # undistort with the ORIGINAL-resolution K — reproduced for
+            # pixel parity (undistortion applies to color only, not depth)
+            color = cv2.undistort(color, self.get_cam_K(), self.distortion)
         depth = self.read_depth(self.depth_paths[index]).astype(np.float64)
         depth = cv2.resize(
             depth, (self.desired_width, self.desired_height),

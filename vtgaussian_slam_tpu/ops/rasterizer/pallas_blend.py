@@ -225,7 +225,13 @@ def _bwd_kernel(count_ref, tiles_x_ref, recs_ref, out_ref, g_ref,
 def blend_tiles(recs: jnp.ndarray, counts: jnp.ndarray, tiles_x: int,
                 chunk: int = 128, n_channels: int = 8,
                 interpret: bool = False) -> jnp.ndarray:
-    """recs [n_tiles, RECW, mpt], counts [n_tiles] -> accum [n_tiles, TPX, C]."""
+    """recs [n_tiles, RECW, mpt], counts [n_tiles] -> accum [n_tiles, TPX, C].
+
+    Preconditions (violations would SILENTLY corrupt output: Pallas clamps
+    an out-of-range dynamic-slice start, re-blending earlier records under
+    a mask that assumes the unclamped offset): chunk divides mpt, and every
+    count <= mpt (binning clamps counts; tiled.py rounds mpt up)."""
+    assert recs.shape[2] % chunk == 0, (recs.shape, chunk)
     out, _ = _blend_fwd_impl(recs, counts, tiles_x, chunk, n_channels,
                              interpret)
     return out

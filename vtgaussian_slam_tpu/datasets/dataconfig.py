@@ -19,13 +19,20 @@ def _deep_update(base: dict, child: dict) -> dict:
     return out
 
 
-def load_dataset_config(path: str, default_path: str | None = None) -> dict:
+def load_dataset_config(path: str, default_path: str | None = None,
+                        _visited: tuple = ()) -> dict:
+    if path in _visited:
+        chain = " -> ".join(list(_visited) + [path])
+        raise ValueError(f"inherit_from cycle: {chain}")
     with open(path, "r") as f:
         cfg = yaml.safe_load(f)
+    if cfg is None:
+        raise ValueError(f"empty dataset config: {path}")
     base = {}
     if "inherit_from" in cfg:
-        base = load_dataset_config(cfg["inherit_from"], default_path)
+        base = load_dataset_config(cfg["inherit_from"], default_path,
+                                   _visited + (path,))
     elif default_path is not None:
         with open(default_path, "r") as f:
-            base = yaml.safe_load(f)
+            base = yaml.safe_load(f) or {}
     return _deep_update(base, cfg)

@@ -66,6 +66,9 @@ class SyntheticRoomDataset:
         desired_width: int | None = None,
         sensor: dict | bool | None = None,
         rot_profile_deg: float = 0.0,
+        start: int = 0,
+        end: int = -1,
+        stride: int = 1,
         **kwargs,
     ):
         # desired_* override the scene config's base resolution (e.g. the 2x
@@ -137,7 +140,8 @@ class SyntheticRoomDataset:
         # holes/quantization/noise, exposure variation"). All effects are
         # deterministic per (seed, frame): repeated reads of the same index
         # are bit-identical (prefetchers and the densify stream re-read).
-        if sensor:
+        # sensor={} means "enable with defaults" ({} is falsy)
+        if sensor or sensor == {}:
             defaults = dict(
                 axial_a=0.0012, axial_b=0.0019,  # sigma(z) = a + b(z-0.4)^2
                 #                                   (Kinect axial noise model)
@@ -158,9 +162,16 @@ class SyntheticRoomDataset:
         else:
             self.sensor = None
         self._sensor_seed = seed
+        # honor the RGBDDataset start/end/stride contract (base.py:84-88):
+        # the pipeline forwards these for every dataset, and silently
+        # running the full sequence would make subset configs a no-op
+        end = self._poses_abs.shape[0] if end == -1 else end
+        self._frame_ids = list(range(start, end, stride))
+        self.num_imgs = len(self._frame_ids)
+        self._poses_abs = self._poses_abs[start:end:stride]
         if relative_pose:
-            inv0 = np.linalg.inv(self._poses_abs[0])
-            self.poses = np.einsum("ij,njk->nik", inv0, self._poses_abs)
+            from .base import relative_poses_np
+            self.poses = relative_poses_np(self._poses_abs)
         else:
             self.poses = self._poses_abs
 
@@ -243,7 +254,10 @@ class SyntheticRoomDataset:
         c2w = self._poses_abs[index]
         color, depth = self.render_frame(c2w)
         if self.sensor is not None:
-            color, depth = self._apply_sensor(index, color, depth)
+            # key noise by the ORIGINAL frame id so a strided/subset run
+            # sees the same per-frame sensor state as the full sequence
+            color, depth = self._apply_sensor(self._frame_ids[index],
+                                              color, depth)
         return (
             color,
             depth,

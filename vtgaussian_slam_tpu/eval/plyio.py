@@ -86,14 +86,31 @@ def _read_vertices(f, count, props, binary):
 
 
 def _read_faces(f, count, props, binary):
+    # the list property is usually first, but writers may emit scalar
+    # props before it; only the all-triangles fast path requires it first
     (pname, pdef) = props[0]
     if not isinstance(pdef, tuple):
-        raise ValueError("face element without a list property")
+        raise ValueError(
+            "unsupported face layout: scalar properties before the "
+            "vertex-index list")
     _, cnt_t, idx_t = pdef
     tris = []
     if binary:
         cnt_dt = np.dtype("<" + cnt_t)
         idx_dt = np.dtype("<" + idx_t)
+        if len(props) == 1:
+            # bulk fast path for the overwhelmingly common case (uniform
+            # triangles, no trailing props): one structured read replaces
+            # a two-reads-per-face Python loop that cost minutes on
+            # Replica-scale GT meshes (millions of faces)
+            rec = np.dtype([("n", cnt_dt), ("idx", idx_dt, (3,))])
+            pos = f.tell()
+            buf = f.read(rec.itemsize * count)
+            if len(buf) == rec.itemsize * count:
+                arr = np.frombuffer(buf, rec, count)
+                if (arr["n"] == 3).all():
+                    return arr["idx"].astype(np.int64)
+            f.seek(pos)  # polygons present: fall through to the slow loop
         for _ in range(count):
             n = int(np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt, 1)[0])
             idx = np.frombuffer(f.read(idx_dt.itemsize * n), idx_dt, n)

@@ -15,6 +15,8 @@ import numpy as np
 def seed_everything(seed: int = 42) -> None:
     random.seed(seed)
     np.random.seed(seed)
+    # PYTHONHASHSEED only affects CHILD processes (hash
+    # randomization is fixed at interpreter startup)
     os.environ["PYTHONHASHSEED"] = str(seed)
     print(f"Seed set to: {seed} (type: {type(seed)})")
 

@@ -104,7 +104,7 @@ def main():
         print(f"[bench] frame {t:2d}{tag}: {dt:6.2f}s "
               f"({ti} track + {mi} map iters) [{parts}]", file=sys.stderr)
 
-    n_total = sum(engine.num_gs_per_frame_ls[-1:] or [0])
+    n_total = sum(int(s.n_active) for s in engine.sections)
     window = [r for r in rows if r[0] >= WARM]
     med = float(np.median([r[1] for r in window]))
     kept = [r for r in window if r[1] <= 3.0 * med]
@@ -116,7 +116,7 @@ def main():
         print(f"[bench] excluded {len(skipped)} re-bucket compile frame(s): "
               f"{[(r[0], round(r[1], 1)) for r in skipped]}", file=sys.stderr)
     print(f"[bench] steady window: {len(kept)} frames, {iters} iters, "
-          f"{secs:.1f}s, gaussians {n_total}", file=sys.stderr)
+          f"{secs:.1f}s, working-set gaussians {n_total}", file=sys.stderr)
     print(json.dumps({
         "metric": "replica-room0-proxy full-engine combined track+map "
                   "iters/sec (680x1200, p2p tracking, densify+selection+"

@@ -69,8 +69,9 @@ def main():
     Tp, mpt = kfc.tab.shape
     print(f"N={n} cap={cap} Tp={Tp} mpt={mpt} P={Tp*mpt}")
 
-    chunk = (512 if mpt % 512 == 0 else
-             256 if mpt % 256 == 0 else 128)  # = map_frame_binned's choice
+    from vtgaussian_slam_tpu.ops.rasterizer.pallas_splat import pick_walk_chunk
+    chunk = pick_walk_chunk(mpt)   # = map_frame_binned's choice
+    print(f"walk chunk = {chunk}")
     tiles_x = -(-cam.width // 16)
 
     # 1. slot gather

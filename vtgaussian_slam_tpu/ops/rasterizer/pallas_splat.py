@@ -93,10 +93,16 @@ def pick_walk_chunk(*mpts: int) -> int:
     caches (e.g. per-keyframe + global binnings with different pair
     budgets) must pick a chunk valid for all of them. Larger chunks
     amortize per-chunk loop/issue overhead (256 lanes measured 26.3 ->
-    20.1 ms fwd+bwd at the Replica working set)."""
-    for c in (512, 256, 128):
+    20.1 ms fwd+bwd at the Replica working set) — but the early-termination
+    check only runs BETWEEN chunks, so past saturation depth the extra lanes
+    are wasted walk; VTGS_WALK_CHUNK forces a width for measurement."""
+    forced = _os.environ.get("VTGS_WALK_CHUNK")
+    prefer = ((int(forced),) if forced else (512, 256, 128))
+    for c in prefer:
         if all(m % c == 0 for m in mpts):
             return c
+    if forced:
+        raise ValueError(f"VTGS_WALK_CHUNK={forced} does not divide {mpts}")
     raise ValueError(f"slot dims {mpts} are not all multiples of 128")
 
 

@@ -1,4 +1,9 @@
-"""Micro-bench: TPU gather/scatter strategies for the inverse-map backward."""
+"""Micro-bench TPU row-gather variants at SLAM working-set sizes.
+
+The mapping iteration spends ~half its time in two row gathers
+(slot gather + inverse-map gathers). This probes what actually bounds
+them: row count, row width, dtype, and gather op count.
+"""
 import os
 import sys
 import time
@@ -13,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, n=30, warmup=3):
+def timeit(fn, *args, n=30, warmup=5):
     for _ in range(warmup):
         r = fn(*args)
     jax.block_until_ready(r)
@@ -25,85 +30,57 @@ def timeit(fn, *args, n=30, warmup=3):
 
 
 def main():
-    N = 917504
-    P = 3232 * 512
+    N = 917_504
+    P = 1_654_784
     key = jax.random.PRNGKey(0)
-    flat = jax.random.normal(key, (P, 8), jnp.float32)
-    idx1 = jax.random.randint(key, (N,), 0, P)
-    idx2 = jax.random.randint(key, (N, 2), 0, P)
-    idx4 = jax.random.randint(key, (N, 4), 0, P)
-    # sorted variant (locality)
-    idx2s = jnp.sort(idx2, axis=0)
+    f8 = jax.random.normal(key, (N, 8), jnp.float32)
+    f16w = jax.random.normal(key, (N, 16), jnp.float32)
+    f8b = f8.astype(jnp.bfloat16)
+    idx = jax.random.randint(key, (P,), 0, N, jnp.int32)
+    idx2 = jax.random.randint(key, (N, 4), 0, P, jnp.int32)
+    flatP = jax.random.normal(key, (P, 8), jnp.float32)
+    flatPb = flatP.astype(jnp.bfloat16)
 
-    f = jax.jit(lambda flat: flat[idx1])
-    print(f"gather (N,) rows of 32B:      {timeit(f, flat):7.2f} ms")
-    f = jax.jit(lambda flat: flat[idx2].sum(1))
-    print(f"gather (N,2) rows + sum:      {timeit(f, flat):7.2f} ms")
-    f = jax.jit(lambda flat: flat[idx2s].sum(1))
-    print(f"gather (N,2) SORTED rows:     {timeit(f, flat):7.2f} ms")
-    f = jax.jit(lambda flat: flat[idx4].sum(1))
-    print(f"gather (N,4) rows + sum:      {timeit(f, flat):7.2f} ms")
+    t = timeit(jax.jit(lambda v, i: v[i]), f8, idx)
+    print(f"gather (P={P}) rows of 8xf32 : {t:7.2f} ms  {t*1e6/P:5.2f} ns/row")
+    t = timeit(jax.jit(lambda v, i: v[i]), f8b, idx)
+    print(f"gather rows of 8xbf16       : {t:7.2f} ms  {t*1e6/P:5.2f} ns/row")
+    t = timeit(jax.jit(lambda v, i: v[i]), f16w, idx)
+    print(f"gather rows of 16xf32       : {t:7.2f} ms  {t*1e6/P:5.2f} ns/row")
+    t = timeit(jax.jit(lambda v, i: v[:, :5][i]), f8, idx)
+    print(f"gather rows of 5xf32 (slice): {t:7.2f} ms  {t*1e6/P:5.2f} ns/row")
 
-    flat4 = flat[:, :4].copy()
-    f = jax.jit(lambda flat4: flat4[idx2].sum(1))
-    print(f"gather (N,2) rows of 16B:     {timeit(f, flat4):7.2f} ms")
+    # two half-size gathers in one jit (do they overlap?)
+    h = P // 2
+    def two(v, i):
+        return v[i[:h]], v[i[h:]]
+    t = timeit(jax.jit(two), f8, idx)
+    print(f"2 half gathers (8xf32)      : {t:7.2f} ms  {t*1e6/P:5.2f} ns/row")
 
-    flat16 = jnp.concatenate([flat, flat], 1)
-    f = jax.jit(lambda flat16: flat16[idx2].sum(1))
-    print(f"gather (N,2) rows of 64B:     {timeit(f, flat16):7.2f} ms")
+    # inverse shape: s2=4 single-index gathers + FMA (current design)
+    w = jnp.abs(jax.random.normal(key, (N, 4), jnp.float32))
+    def inv4(flat, pos, w):
+        g = flat[pos[:, 0]] * w[:, 0:1]
+        for k in range(1, 4):
+            g = g + flat[pos[:, k]] * w[:, k:k + 1]
+        return g
+    t = timeit(jax.jit(inv4), flatP, idx2, w)
+    print(f"inverse s2=4 (f32 src)      : {t:7.2f} ms  {t*1e6/(4*N):5.2f} ns/row")
+    t = timeit(jax.jit(inv4), flatPb, idx2, w)
+    print(f"inverse s2=4 (bf16 src)     : {t:7.2f} ms  {t*1e6/(4*N):5.2f} ns/row")
 
-    # scatter-add M rows into (N, 8)
-    for M in (65536, 229376):
-        tgt = jnp.zeros((N, 8), jnp.float32)
-        src = jax.random.normal(key, (M, 8), jnp.float32)
-        sid = jax.random.randint(key, (M,), 0, N)
-        f = jax.jit(lambda tgt, src: tgt.at[sid].add(src))
-        print(f"scatter-add {M:7d} rows:      {timeit(f, tgt, src):7.2f} ms")
+    # fused (N, s2) gather + sum over span axis
+    def inv_fused(flat, pos, w):
+        return jnp.sum(flat[pos] * w[..., None], axis=1)
+    t = timeit(jax.jit(inv_fused), flatP, idx2, w)
+    print(f"inverse fused (N,4)+sum     : {t:7.2f} ms  {t*1e6/(4*N):5.2f} ns/row")
 
-    # gather from small table (N rows from (M,8))
-    small = jax.random.normal(key, (229376, 8), jnp.float32)
-    sidN = jax.random.randint(key, (N,), 0, 229376)
-    f = jax.jit(lambda small: small[sidN])
-    print(f"gather (N,) from 7MB table:   {timeit(f, small):7.2f} ms")
+    # one-hot matmul gather for comparison at small table? (skip: N too big)
 
-    # the current full inverse-gather composite at realistic shapes
-    main_idx = jnp.maximum(idx2, 0)
-    main_mask = jax.random.bernoulli(key, 0.7, (N, 2))
-    Mcap = 229376
-    ov_pos = jax.random.randint(key, (Mcap, 2), 0, P)
-    ov_mask = jax.random.bernoulli(key, 0.5, (Mcap, 2))
-    ov_slot = jax.random.randint(key, (N,), 0, Mcap)
-    ov_valid = jax.random.bernoulli(key, 0.1, (N,))
-
-    def cur(flat):
-        m2 = main_mask.astype(flat.dtype)[..., None]
-        g_main = jnp.sum(flat[main_idx] * m2, axis=1)
-        mo = ov_mask.astype(flat.dtype)[..., None]
-        ov_rows = jnp.sum(flat[ov_pos] * mo, axis=1)
-        valid = ov_valid.astype(flat.dtype)[:, None]
-        return g_main + ov_rows[ov_slot] * valid
-    f = jax.jit(cur)
-    print(f"CURRENT composite:            {timeit(f, flat):7.2f} ms")
-
-    ov_gid = jnp.where(ov_valid[:Mcap], jnp.arange(Mcap), N)
-
-    def new(flat):
-        m2 = main_mask.astype(flat.dtype)[..., None]
-        g_main = jnp.sum(flat[main_idx] * m2, axis=1)
-        mo = ov_mask.astype(flat.dtype)[..., None]
-        ov_rows = jnp.sum(flat[ov_pos] * mo, axis=1)
-        return g_main.at[ov_gid].add(ov_rows, mode="drop")
-    f = jax.jit(new)
-    print(f"NEW scatter composite:        {timeit(f, flat):7.2f} ms")
-
-    def new64k(flat):
-        m2 = main_mask.astype(flat.dtype)[..., None]
-        g_main = jnp.sum(flat[main_idx] * m2, axis=1)
-        mo = ov_mask[:65536].astype(flat.dtype)[..., None]
-        ov_rows = jnp.sum(flat[ov_pos[:65536]] * mo, axis=1)
-        return g_main.at[ov_gid[:65536]].add(ov_rows, mode="drop")
-    f = jax.jit(new64k)
-    print(f"NEW scatter, mcap=64k:        {timeit(f, flat):7.2f} ms")
+    # take_along_axis style 2D table gather (slot gather form)
+    tab = jax.random.randint(key, (3232, 512), 0, N, jnp.int32)
+    t = timeit(jax.jit(lambda v, i: v[i].transpose(0, 2, 1)), f8, tab)
+    print(f"slot gather (T,mpt)+T       : {t:7.2f} ms  {t*1e6/tab.size:5.2f} ns/row")
 
 
 if __name__ == "__main__":

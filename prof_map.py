@@ -1,8 +1,14 @@
 """Profile the mapping-iteration component costs on the real chip.
 
-Breakdown targets (one mapping iteration ~55 ms at round-2 end):
+The axon tunnel lies to naive timers: `block_until_ready` can return
+before execution drains and a host sync costs ~30 ms RTT, so per-call
+timing is garbage. This profiler runs each component K times inside ONE
+jit (lax.scan with a data dependence threaded through the carry so
+nothing folds away), host-syncs once, and reports (total - overhead)/K.
+
+Breakdown targets (one mapping iteration, see core/map_cache.py):
   gather_channels (slot gather), fwd kernel, bwd kernel (vals_rows),
-  inverse-map gathers, loss computation, Adam.
+  inverse-map gathers, full iteration (value_and_grad + Adam).
 """
 import os
 import sys
@@ -19,29 +25,52 @@ import numpy as np
 
 from vtgaussian_slam_tpu.core.losses import Frame, LossConfig
 from vtgaussian_slam_tpu.core.map_cache import (build_kf_cache, pack_fields8,
-                                                render_binned, splat_binned)
-from vtgaussian_slam_tpu.core.mapping import KeyframeBuffer, MappingConfig
+                                                render_binned)
 from vtgaussian_slam_tpu.datasets.synthetic import SyntheticRoomDataset
 from vtgaussian_slam_tpu.models import gaussians as G
 from vtgaussian_slam_tpu.ops.camera import setup_camera
-from vtgaussian_slam_tpu.ops.rasterizer.binning import gather_channels
+from vtgaussian_slam_tpu.ops.rasterizer.binning import (apply_slot_inverse,
+                                                        gather_channels)
 from vtgaussian_slam_tpu.ops.rasterizer.pallas_splat import (_bwd_call,
-                                                             _fwd_call)
+                                                             _fwd_call,
+                                                             pick_walk_chunk)
+
+K = int(os.environ.get("VTGS_PROF_K", "50"))
 
 
-def timeit(fn, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        r = fn(*args)
-    jax.block_until_ready(r)
+def scan_time(step, init, label, k=K):
+    """Run `step` k times inside one jit; return ms/call net of overhead."""
+    @jax.jit
+    def run(init):
+        def body(c, _):
+            return step(c), 0
+        c, _ = jax.lax.scan(body, init, None, length=k)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), c, 0.0)
+
+    s = run(init)
+    float(s)                      # warm + sync
     t0 = time.time()
-    for _ in range(n):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.time() - t0) / n * 1e3
+    s = run(init)
+    float(s)
+    total = time.time() - t0
+
+    @jax.jit
+    def empty(init):
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x.astype(jnp.float32)), init, 0.0)
+    e = empty(init); float(e)
+    t0 = time.time()
+    e = empty(init); float(e)
+    over = time.time() - t0
+    ms = (total - over) / k * 1e3
+    print(f"{label:28s}: {ms:7.2f} ms/call   (sync overhead {over*1e3:.1f} ms)")
+    return ms
 
 
 def main():
     H, W = 680, 1200
+    mpt = int(os.environ.get("VTGS_PROF_MPT", "512"))
     ds = SyntheticRoomDataset(num_frames=3, height=H, width=W, seed=0,
                               motion_scale=0.05)
     cam = setup_camera(W, H, ds.scaled_intrinsics()[:3, :3])
@@ -64,74 +93,144 @@ def main():
     q = jnp.asarray(q); tr = jnp.asarray(tr)
 
     kfc = build_kf_cache(sec.params, active, q, tr, cam, span_cap=2,
-                         max_pairs_per_tile=512)
+                         max_pairs_per_tile=mpt)
     f8 = pack_fields8(sec.params)
     Tp, mpt = kfc.tab.shape
     print(f"N={n} cap={cap} Tp={Tp} mpt={mpt} P={Tp*mpt}")
-
-    from vtgaussian_slam_tpu.ops.rasterizer.pallas_splat import pick_walk_chunk
     chunk = pick_walk_chunk(mpt)   # = map_frame_binned's choice
-    print(f"walk chunk = {chunk}")
+    print(f"walk chunk = {chunk}, K = {K}")
     tiles_x = -(-cam.width // 16)
 
-    # 1. slot gather
-    g1 = jax.jit(lambda f8: gather_channels(f8, kfc.tab))
-    print(f"gather_channels:     {timeit(g1, f8):7.2f} ms")
-
-    slots = g1(f8)
     R9 = geo.quat_to_rotmat(geo.normalize(q)).reshape(9)
+    zoff = jnp.zeros((), jnp.int32)
+
+    # 1. slot gather (perturb f8 through the carry so scan can't hoist)
+    def g_step(f8):
+        s = gather_channels(f8, kfc.tab)
+        return f8 + s[0, :, 0][None, :] * 1e-12
+    scan_time(g_step, f8, "gather_channels")
+
+    slots = gather_channels(f8, kfc.tab)
 
     # 2. fwd kernel
-    f2 = jax.jit(lambda s: _fwd_call(s, R9, tr, kfc.counts,
-                                     jnp.zeros((), jnp.int32), cam, tiles_x,
-                                     chunk, False))
-    print(f"fwd kernel:          {timeit(f2, slots):7.2f} ms")
-    accum = f2(slots)
+    def f_step(slots):
+        acc = _fwd_call(slots, R9, tr, kfc.counts, zoff, cam, tiles_x,
+                        chunk, False)
+        return slots + acc[:, 0:1, 0:1] * 1e-12
+    scan_time(f_step, slots, "fwd kernel")
+
+    accum = _fwd_call(slots, R9, tr, kfc.counts, zoff, cam, tiles_x,
+                      chunk, False)
+    gct = jnp.ones_like(accum)
 
     # 3. bwd kernel vals_rows
-    g = jnp.ones_like(accum)
-    f3 = jax.jit(lambda s: _bwd_call(s, R9, tr, kfc.counts,
-                                     jnp.zeros((), jnp.int32), accum, g, cam,
-                                     tiles_x, chunk, False, "vals_rows"))
-    print(f"bwd kernel (rows):   {timeit(f3, slots):7.2f} ms")
-    grad_rows = f3(slots)
+    def b_step(slots):
+        gr = _bwd_call(slots, R9, tr, kfc.counts, zoff, accum, gct, cam,
+                       tiles_x, chunk, False, "vals_rows")
+        return slots + gr[:, 0:1, 0:8].transpose(0, 2, 1) * 1e-12
+    scan_time(b_step, slots, "bwd kernel (rows)")
+
+    grad_rows = _bwd_call(slots, R9, tr, kfc.counts, zoff, accum, gct, cam,
+                          tiles_x, chunk, False, "vals_rows")
+    flat0 = grad_rows.reshape(Tp * mpt, 8)
 
     # 4. inverse-map gathers
-    from vtgaussian_slam_tpu.ops.rasterizer.binning import apply_slot_inverse
-    inv = kfc.inv
-    def inv_gather(grad_rows):
-        return apply_slot_inverse(grad_rows.reshape(Tp * mpt, 8), inv)
-    f4 = jax.jit(inv_gather)
-    print(f"inverse gathers:     {timeit(f4, grad_rows):7.2f} ms")
+    def i_step(flat):
+        g = apply_slot_inverse(flat, kfc.inv)
+        return flat + g[0][None, :] * 1e-12
+    scan_time(i_step, flat0, "inverse gathers")
 
-    # 5. full fwd render + loss value_and_grad (the real iteration minus Adam)
+    # 5. full iteration: value_and_grad + Adam
     cfg = LossConfig(tracking=False, use_sil_for_loss=False,
                      ignore_outlier_depth_loss=False, adaptive_sil=False,
-                     im_weight=1.0,
-                     depth_weight=1.0,
+                     im_weight=1.0, depth_weight=1.0,
                      backend_kwargs=tuple(sorted(dict(
-                         span_cap=2, max_pairs_per_tile=512, chunk=128,
+                         span_cap=2, max_pairs_per_tile=mpt, chunk=128,
                          use_pallas=True).items())))
     from vtgaussian_slam_tpu.core.losses import loss_from_render
+    from vtgaussian_slam_tpu.models.optimizer import adam_init, adam_step
 
     def loss_fn(f8):
         r = render_binned(f8, kfc, cam, chunk)
         return loss_from_render(r, frame0, cfg, jnp.asarray(0.5, f8.dtype),
                                 jnp.asarray(False)).loss
-    f5 = jax.jit(jax.value_and_grad(loss_fn))
-    print(f"full iter (vg):      {timeit(f5, f8):7.2f} ms")
 
-    # 6. fwd only loss
-    f6 = jax.jit(loss_fn)
-    print(f"fwd+loss only:       {timeit(f6, f8):7.2f} ms")
+    lrs8 = jnp.full((1, 8), 0.001, jnp.float32)
+    opt0 = adam_init(f8)
 
-    # 7. adam step
-    from vtgaussian_slam_tpu.models.optimizer import adam_init, adam_step
-    opt = adam_init(f8)
-    lrs8 = jnp.full((1, 8), 0.001, f8.dtype)
-    _, grads = f5(f8)
-    f7 = jax.jit(lambda f8, gr, opt: adam_step(f8, gr, opt, lrs8, eps=1e-15))
-    print(f"adam step:           {timeit(f7, f8, grads, opt):7.2f} ms")
+    def full_step(carry):
+        f8, opt = carry
+        _, grads = jax.value_and_grad(loss_fn)(f8)
+        f8n, optn = adam_step(f8, grads, opt, lrs8, eps=1e-15)
+        return (f8n, optn)
+    scan_time(full_step, (f8, opt0), "full iter (vg + adam)")
+
+    # 6. fwd+loss only
+    def fl_step(f8):
+        l = loss_fn(f8)
+        return f8 + l * 1e-12
+    scan_time(fl_step, f8, "fwd+loss only")
+
+    # 7. vg WITHOUT adam (isolate optimizer + carry-aliasing cost)
+    def vg_step(f8):
+        _, grads = jax.value_and_grad(loss_fn)(f8)
+        return f8 + grads * 1e-12
+    scan_time(vg_step, f8, "vg only (no adam)")
+
+    # 8. vg of the raw render (no loss pixel math)
+    def render_sum(f8):
+        r = render_binned(f8, kfc, cam, chunk)
+        return jnp.sum(r.im) + jnp.sum(r.depth)
+    def vgr_step(f8):
+        _, grads = jax.value_and_grad(render_sum)(f8)
+        return f8 + grads * 1e-12
+    scan_time(vgr_step, f8, "vg render-only")
+
+    # 9. vg of the raw ACCUM (no assemble_image / no tile->image relayout)
+    from vtgaussian_slam_tpu.core.map_cache import splat_binned
+    def accum_sum(f8):
+        a = splat_binned(f8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
+                         kfc.counts, cam, chunk, False)
+        return jnp.sum(a[:, :6, :])
+    def vga_step(f8):
+        _, grads = jax.value_and_grad(accum_sum)(f8)
+        return f8 + grads * 1e-12
+    scan_time(vga_step, f8, "vg accum-only (no assemble)")
+
+    # 10. assemble_image fwd alone
+    from vtgaussian_slam_tpu.ops.rasterizer.pallas_splat import assemble_image
+    acc0 = splat_binned(f8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
+                        kfc.counts, cam, chunk, False)
+    def asm_step(a):
+        img = assemble_image(a, cam)
+        return a + img[0, 0, 0] * 1e-12
+    scan_time(asm_step, acc0, "assemble_image fwd")
+
+    # 11. composed bwd chain: bwd kernel -> reshape -> inverse (one jit)
+    def chain_step(slots):
+        gr = _bwd_call(slots, R9, tr, kfc.counts, zoff, accum, gct, cam,
+                       tiles_x, chunk, False, "vals_rows")
+        g = apply_slot_inverse(gr.reshape(Tp * mpt, 8), kfc.inv)
+        return slots + g[0][None, :, None] * 1e-12
+    scan_time(chain_step, slots, "bwd+reshape+inverse (fused)")
+
+    # 12. the custom-vjp pullback alone (exactly what vg runs backward)
+    _, pullback = jax.vjp(
+        lambda v8: splat_binned(v8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
+                                kfc.counts, cam, chunk, False), f8)
+    def pb_step(g):
+        (gt,) = pullback(g)
+        return g + gt[0, 0] * 1e-12
+    scan_time(pb_step, jnp.ones_like(acc0), "vjp pullback only")
+
+    # 13. fwd custom-vjp (gather+kernel with residual saving)
+    def fwd_vjp_step(f8):
+        out, _ = jax.vjp(
+            lambda v8: splat_binned(v8, kfc.tab, kfc.inv, kfc.quat,
+                                    kfc.trans, kfc.counts, cam, chunk,
+                                    False), f8)
+        return f8 + out[0, 0, 0] * 1e-12
+    scan_time(fwd_vjp_step, f8, "fwd (vjp residual mode)")
 
 
 if __name__ == "__main__":

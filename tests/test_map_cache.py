@@ -115,6 +115,39 @@ class TestRenderBinned:
         np.testing.assert_allclose(np.asarray(got.silhouette),
                                    np.asarray(ref.silhouette), atol=5e-5)
 
+    def test_wide_walk_chunks_match_128(self):
+        """chunk=256/512 walks (two-level lane cumsum, pallas_splat.
+        _cumsum_lanes) must reproduce the chunk=128 single-matmul path —
+        forward channels AND field gradients — on tiles deep enough to
+        cross sub-block boundaries."""
+        params, active = scene(n=3000, seed=11)
+        # fatter splats -> hundreds of pairs per tile
+        params = params.replace(log_scales=params.log_scales + 0.8)
+        quat = jnp.array([1.0, 0.02, -0.01, 0.0])
+        trans = jnp.array([0.01, 0.02, -0.03])
+        kfc = build_kf_cache(params, active, quat, trans, CAM, span_cap=2,
+                             max_pairs_per_tile=512)
+        assert int(jnp.max(kfc.counts)) > 256, "scene too shallow for test"
+        f8 = pack_fields8(params)
+
+        def loss(v8, chunk):
+            r = render_binned(v8, kfc, CAM, chunk)
+            return (jnp.sum(r.im ** 2) + jnp.sum(r.depth ** 2)
+                    + jnp.sum(r.silhouette ** 2))
+
+        outs, grads = {}, {}
+        for chunk in (128, 256, 512):
+            outs[chunk] = render_binned(f8, kfc, CAM, chunk)
+            grads[chunk] = jax.grad(lambda v: loss(v, chunk))(f8)
+        for chunk in (256, 512):
+            np.testing.assert_allclose(np.asarray(outs[chunk].im),
+                                       np.asarray(outs[128].im), atol=2e-5)
+            np.testing.assert_allclose(np.asarray(outs[chunk].depth),
+                                       np.asarray(outs[128].depth), atol=2e-4)
+            np.testing.assert_allclose(np.asarray(grads[chunk]),
+                                       np.asarray(grads[128]),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_global_matches_concat_render(self):
         fixed, f_active = scene(n=150, seed=6)
         params, active = scene(n=200, seed=7)

@@ -168,6 +168,34 @@ def _tri_excl(chunk, dtype):
     return (ri < ci).astype(dtype)
 
 
+CUMSUM_SUB = 128
+
+
+def _cumsum_lanes(x, tri_sub, inclusive: bool, precision):
+    """Lane cumsum of (rows, chunk) via two levels: per-128-block matmul
+    against `tri_sub` (the 128-wide _tri_excl, shared by both kinds) plus a
+    running f32 block offset. The one-matmul form is O(chunk^2) MXU work per
+    slot; this is O(chunk * 128) — 4x fewer FLOPs at the 512-lane walk
+    (the kernels' dominant contraction at SLAM working sets). `inclusive`
+    adds x back to the exclusive scan instead of a second (shifted) tri."""
+    chunk = x.shape[-1]
+    if chunk == CUMSUM_SUB:
+        s = jax.lax.dot_general(x, tri_sub, (((1,), (0,)), ((), ())),
+                                precision=precision,
+                                preferred_element_type=x.dtype)
+        return s + x if inclusive else s
+    parts = []
+    off = jnp.zeros((x.shape[0], 1), x.dtype)
+    for b in range(chunk // CUMSUM_SUB):
+        xb = x[:, b * CUMSUM_SUB:(b + 1) * CUMSUM_SUB]
+        sb = jax.lax.dot_general(xb, tri_sub, (((1,), (0,)), ((), ())),
+                                 precision=precision,
+                                 preferred_element_type=x.dtype)
+        parts.append(sb + off + xb if inclusive else sb + off)
+        off = off + sb[:, -1:] + xb[:, -1:]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _phi_local(dtype):
     """(TPX, 8) tile-LOCAL pixel-moment basis [lx^2 lx*ly ly^2 lx ly 1 0 0].
 
@@ -229,9 +257,7 @@ def _splat_weights(p, rec_rgb, phi, tox, toy, lane, j0, count, T, chunk, tri,
     alpha = jnp.where(keep, alpha, 0.0)
 
     lg = jnp.log1p(-alpha)
-    S_excl = jax.lax.dot_general(lg, tri, (((1,), (0,)), ((), ())),
-                                 precision=precision,
-                                 preferred_element_type=lg.dtype)
+    S_excl = _cumsum_lanes(lg, tri, False, precision)
     T_in = T * jnp.exp(S_excl)
     T_after = T_in * (1.0 - alpha)
     include = T_after >= T_TERMINATE
@@ -261,7 +287,7 @@ def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
     tiles_x = meta_ref[0]
     f32 = out_ref.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    tri = _tri_excl(chunk, f32)
+    tri = _tri_excl(min(chunk, CUMSUM_SUB), f32)
     phi = _phi_local(f32)
 
     for b in range(block):
@@ -323,10 +349,7 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
     tiles_x = meta_ref[0]
     f32 = g_ref.dtype
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    tri = _tri_excl(chunk, f32)
-    ri_ = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    ci_ = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    tri_incl = (ri_ <= ci_).astype(f32)
+    tri = _tri_excl(min(chunk, CUMSUM_SUB), f32)
 
     # tile-LOCAL pixel-moment basis (shared with the forward quadratic,
     # _phi_local): every per-slot pixel reduction of the quadratic-form
@@ -384,11 +407,8 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
                                      precision=BWD_PRECISION,
                                      preferred_element_type=f32)  # (TPX, chunk)
             wGc = w["weight"] * Gc
-            # inclusive lane cumsum as one MXU matmul (see _splat_weights)
-            Hk = Hpref + jax.lax.dot_general(
-                wGc, tri_incl, (((1,), (0,)), ((), ())),
-                precision=BWD_PRECISION,
-                preferred_element_type=f32)
+            # inclusive lane cumsum on the MXU (see _cumsum_lanes)
+            Hk = Hpref + _cumsum_lanes(wGc, tri, True, BWD_PRECISION)
             inv_om = 1.0 / jnp.maximum(1.0 - w["alpha"], 1e-6)
             g_alpha = jnp.where(
                 w["include"] & w["keep"] & (~w["clamped"]),

@@ -71,8 +71,8 @@ scan_time(c_step, v_n8, "slot gather: (N,8) rows, no transpose")
 
 def d_step(v):           # 8 per-channel flat gathers from (8,N)
     cols = [v[i][tab] for i in range(8)]     # 8 x (Tp, mpt)
-    s = jnp.stack(cols, axis=1)
-    return v + s[:, 0, 0][:1, :1] * 1e-12    # keep dep
+    s = jnp.stack(cols, axis=1)              # (Tp, 8, mpt)
+    return v + s[0, :, 0][:, None] * 1e-12   # keep dep
 scan_time(d_step, v_8n, "slot gather: 8 separate (Tp,mpt) gathers")
 
 # --- inverse candidates (per-gaussian grad sums) ---
@@ -112,6 +112,86 @@ def rt_cur(v):
         g = g + flat[pos[:, k]] * w4[:, k:k + 1]
     return v + g * 1e-12
 scan_time(rt_cur, v_n8, "round trip: current (N,8) shapes")
+
+flat_128 = jax.random.normal(key, (P // 16, 128), jnp.float32)
+pos_r = pos >> 4           # packed-row index
+pos_g = pos & 15           # group within row
+eye16 = jnp.eye(16, dtype=jnp.float32)
+
+def iw_step(f):
+    """inverse from 128-wide packed rows: gather + one-hot group select."""
+    g = jnp.zeros((N, 8), jnp.float32)
+    for k in range(4):
+        r = f[pos_r[:, k]]                       # (N, 128)
+        sel = eye16[pos_g[:, k]]                 # (N, 16)
+        picked = jnp.einsum("ngc,ng->nc",
+                            r.reshape(N, 16, 8), sel)
+        g = g + picked * w4[:, k:k + 1]
+    return f + g[0].sum() * 1e-12
+scan_time(iw_step, flat_128, "inverse: 4 gathers of 128-wide rows+sel")
+
+def iw2_step(f):
+    """gather only (no select) to isolate the gather rate at width 128."""
+    acc = f[pos_r[:, 0]]
+    for k in range(1, 4):
+        acc = acc + f[pos_r[:, k]]
+    return f + acc[0][None, :] * 1e-12
+scan_time(iw2_step, flat_128, "inverse: 4 gathers of 128-wide rows only")
+
+# mask-table select: one (16, 128) gather per k replaces the einsum; the
+# 4 masked contributions accumulate in 128-lane space and pay ONE 16-fold
+# lane reduction at the end instead of 4 einsum contractions
+masktab = jnp.zeros((16, 128), jnp.float32)
+for gidx in range(16):
+    masktab = masktab.at[gidx, gidx * 8:(gidx + 1) * 8].set(1.0)
+
+def iw3_step(f):
+    acc = jnp.zeros((N, 128), jnp.float32)
+    for k in range(4):
+        r = f[pos_r[:, k]]                       # (N, 128)
+        mw = masktab[pos_g[:, k]] * w4[:, k:k + 1]
+        acc = acc + r * mw
+    g = acc.reshape(N, 16, 8).sum(axis=1)        # (N, 8)
+    return f + g[0].sum() * 1e-12
+scan_time(iw3_step, flat_128, "inverse: 4 packed gathers + masktab sel")
+
+def iw4_step(f):
+    """same but reduce via one MXU matmul (128 -> 8 fold matrix)."""
+    fold = jnp.concatenate([jnp.eye(8, dtype=jnp.float32)] * 16, axis=0)
+    acc = jnp.zeros((N, 128), jnp.float32)
+    for k in range(4):
+        r = f[pos_r[:, k]]
+        mw = masktab[pos_g[:, k]] * w4[:, k:k + 1]
+        acc = acc + r * mw
+    g = acc @ fold                               # (N, 8)
+    return f + g[0].sum() * 1e-12
+scan_time(iw4_step, flat_128, "inverse: packed gathers + masktab + MXU fold")
+
+i128g = jnp.arange(128, dtype=jnp.int32) >> 3    # lane -> group index
+
+def iw5_step(f):
+    """comparison mask in 128-lane space (no table gather), ONE deferred
+    16-fold reduction instead of 4 einsum contractions."""
+    acc = jnp.zeros((N, 128), jnp.float32)
+    for k in range(4):
+        r = f[pos_r[:, k]]
+        sel = (pos_g[:, k:k + 1] == i128g[None, :]).astype(jnp.float32)
+        acc = acc + r * (sel * w4[:, k:k + 1])
+    g = acc.reshape(N, 16, 8).sum(axis=1)
+    return f + g[0].sum() * 1e-12
+scan_time(iw5_step, flat_128, "inverse: packed + cmp128 sel, 1 fold")
+
+def iw6_step(f):
+    """current production shape: per-k comparison one-hot (N, 16) einsum."""
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    g = jnp.zeros((N, 8), jnp.float32)
+    for k in range(4):
+        r = f[pos_r[:, k]].reshape(N, 16, 8)
+        sel = (pos_g[:, k:k + 1] == i16[None, :]).astype(jnp.float32)
+        g = g + jnp.einsum("ngc,ng->nc", r, sel * w4[:, k:k + 1])
+    return f + g[0].sum() * 1e-12
+scan_time(iw6_step, flat_128, "inverse: packed + cmp16 einsum (prod)")
+
 
 def rt_cm(v):
     s = v[:, tab]                            # (8, Tp, mpt)

@@ -223,6 +223,66 @@ def main():
         return g + gt[0, 0] * 1e-12
     scan_time(pb_step, jnp.ones_like(acc0), "vjp pullback only")
 
+    # 12b/12c. bisect the vg: truncated backwards isolate which edge pays
+    def make_vg(mode):
+        @jax.custom_vjp
+        def f(v8):
+            return _splat_fwd_probe(v8)[0]
+        def fwd(v8):
+            return _splat_fwd_probe(v8)
+        def bwd(res, g):
+            slots_r, accum_r = res
+            if mode == "zero":
+                return (jnp.zeros((cap, 8), jnp.float32),)
+            gr = _bwd_call(slots_r, R9, tr, kfc.counts, zoff, accum_r, g,
+                           cam, tiles_x, chunk, False, "vals_rows")
+            if mode == "kernel_only":
+                return (jnp.zeros((cap, 8), jnp.float32)
+                        + gr[0, 0, 0] * 1e-12,)
+            if mode == "full3d":
+                # 2D (tile, slot) indexed gathers straight off the pallas
+                # output - no (P, 8) repack copy
+                inv = kfc.inv
+                w = inv.w
+                ti = inv.pos // mpt
+                si = inv.pos % mpt
+                g = gr[ti[:, 0], si[:, 0]] * w[:, 0:1]
+                for k in range(1, inv.pos.shape[1]):
+                    g = g + gr[ti[:, k], si[:, k]] * w[:, k:k + 1]
+                return (g,)
+            if mode == "packed":
+                # 128-wide packed-row gathers: reshape groups 16 slots x 8
+                # channels per row; select the slot's 8 lanes by a
+                # comparison one-hot (no table gather)
+                inv = kfc.inv
+                w = inv.w
+                rows = gr.reshape(Tp * mpt // 16, 128)
+                pr = inv.pos >> 4
+                pg = inv.pos & 15
+                i16 = jnp.arange(16, dtype=jnp.int32)
+                g = jnp.zeros((cap, 8), jnp.float32)
+                for k in range(inv.pos.shape[1]):
+                    r = rows[pr[:, k]].reshape(cap, 16, 8)
+                    sel = (i16[None, :] == pg[:, k:k + 1]).astype(jnp.float32)
+                    g = g + jnp.einsum("ngc,ng->nc", r, sel) * w[:, k:k + 1]
+                return (g,)
+            return (apply_slot_inverse(gr.reshape(Tp * mpt, 8), kfc.inv),)
+        def _splat_fwd_probe(v8):
+            s = gather_channels(v8, kfc.tab)
+            a = _fwd_call(s, R9, tr, kfc.counts, zoff, cam, tiles_x,
+                          chunk, False)
+            return a, (s, a)
+        f.defvjp(fwd, bwd)
+        def step(v8):
+            _, g = jax.value_and_grad(lambda v: jnp.sum(f(v)))(v8)
+            return v8 + g * 1e-12
+        return step
+    scan_time(make_vg("zero"), f8, "vg bisect: fwd only, zero bwd")
+    scan_time(make_vg("kernel_only"), f8, "vg bisect: fwd + bwd kernel")
+    scan_time(make_vg("full"), f8, "vg bisect: fwd + bwd + inverse")
+    scan_time(make_vg("full3d"), f8, "vg bisect: fwd + bwd + 3d inverse")
+    scan_time(make_vg("packed"), f8, "vg bisect: fwd + bwd + packed")
+
     # 13. fwd custom-vjp (gather+kernel with residual saving)
     def fwd_vjp_step(f8):
         out, _ = jax.vjp(

@@ -78,6 +78,21 @@ class TestTableGather:
         np.testing.assert_allclose(np.asarray(g_inv), np.asarray(g_ref),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_weighted_inverse_packed_matches_rows(self):
+        """The packed 128-wide fast path (C == 8, P % 16 == 0) is bit-exact
+        vs the plain row-gather sum it replaces."""
+        from vtgaussian_slam_tpu.ops.rasterizer.binning import (
+            weighted_inverse)
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        P, N, s2 = 37 * 16, 300, 4
+        flat = jax.random.normal(ks[0], (P, 8), jnp.float32)
+        pos = jax.random.randint(ks[1], (N, s2), 0, P)
+        w = (jax.random.uniform(ks[2], (N, s2)) < 0.7).astype(jnp.float32)
+        got = np.asarray(weighted_inverse(flat, pos, w))
+        f, p, ww = (np.asarray(a) for a in (flat, pos, w))
+        want = sum(f[p[:, k]] * ww[:, k:k + 1] for k in range(s2))
+        np.testing.assert_array_equal(got, want)
+
     def test_inverse_positions_are_consistent(self):
         """Every non-negative inv_pos entry points at a slot holding its
         own gaussian, within that tile's count."""

@@ -207,14 +207,48 @@ def slot_inverse(inv_pos: jnp.ndarray) -> SlotInv:
                    w=(srt >= 0).astype(jnp.float32))
 
 
+def weighted_inverse(flat: jnp.ndarray, pos: jnp.ndarray,
+                     w: jnp.ndarray) -> jnp.ndarray:
+    """sum_k flat[pos[:, k]] * w[:, k:k+1] — the inverse-map gather.
+
+    flat: (P, C) cotangent rows; pos: (N, s2) in-range positions;
+    w: (N, s2) f32 weights (0 disables a column).
+
+    Fast path when C == 8 and P % 16 == 0 (always true in the engine: C is
+    the fields8 width, P = n_tiles_padded * mpt with mpt a power of two):
+    view `flat` as (P/16, 128) packed rows — one 512-byte HBM sector per
+    row instead of a 32-byte (1, 8) sliver — gather by pos >> 4, and select
+    the target 8-lane group with a one-hot (pos & 15) einsum whose 0/1
+    factors keep the sum bit-exact. Measured at the Replica room0 working
+    set (N = 917k, s2 = 4, P = 3.7M): 16.7 ms row gathers -> 6.7 ms packed
+    gathers + ~9 ms select, and 61.6 -> 42.7 ms for the whole mapping
+    backward in context (prof_layout.py / prof_map.py)."""
+    P, C = flat.shape
+    s2 = pos.shape[1]
+    w = w.astype(flat.dtype)
+    if C != 8 or P % 16:
+        g = flat[pos[:, 0]] * w[:, 0:1]
+        for k in range(1, s2):
+            g = g + flat[pos[:, k]] * w[:, k:k + 1]
+        return g
+    rows = flat.reshape(P // 16, 16 * C)
+    # comparison one-hot, NOT an eye(16) row gather: mixing a small-table
+    # indirection into the gather fusion serializes it ~25% slower
+    # (measured 52.6 vs 42.8 ms for the mapping backward, prof_map 12c)
+    i16 = jnp.arange(16, dtype=jnp.int32)
+    g = None
+    for k in range(s2):
+        r = rows[pos[:, k] >> 4].reshape(-1, 16, C)
+        sel = ((pos[:, k:k + 1] & 15) == i16[None, :]).astype(flat.dtype)
+        t = jnp.einsum("ngc,ng->nc", r, sel * w[:, k:k + 1])
+        g = t if g is None else g + t
+    return g
+
+
 def apply_slot_inverse(flat: jnp.ndarray, inv: SlotInv) -> jnp.ndarray:
     """(P, C) flat cotangent rows -> (N, C) per-gaussian sums (the exact
     transpose of the `flat[tab]` slot gather; see SlotInv)."""
-    w = inv.w.astype(flat.dtype)
-    g = flat[inv.pos[:, 0]] * w[:, 0:1]
-    for k in range(1, inv.pos.shape[1]):
-        g = g + flat[inv.pos[:, k]] * w[:, k:k + 1]
-    return g
+    return weighted_inverse(flat, inv.pos, inv.w)
 
 
 @jax.custom_vjp

@@ -162,7 +162,7 @@ def make_track_frame_cached_sharded(mesh: Mesh):
 
 def _make_splat_binned_sharded(mesh: Mesh, cam: Camera, tiles_x: int,
                                chunk: int, tiles_local: int):
-    from ..ops.rasterizer.binning import gather_channels
+    from ..ops.rasterizer.binning import gather_channels, weighted_inverse
 
     interp = _interp()
 
@@ -212,9 +212,7 @@ def _make_splat_binned_sharded(mesh: Mesh, cam: Camera, tiles_x: int,
             lp = inv_.pos - lo
             w = inv_.w * ((lp >= 0) & (lp < Pl)).astype(flat.dtype)
             idx = jnp.clip(lp, 0, Pl - 1)
-            g_f8 = flat[idx[:, 0]] * w[:, 0:1]
-            for k in range(1, idx.shape[1]):
-                g_f8 = g_f8 + flat[idx[:, k]] * w[:, k:k + 1]
+            g_f8 = weighted_inverse(flat, idx, w)
             return jax.lax.psum(g_f8, AXIS)
 
         g_tail = run(slots, counts, inv, R9, trans, acc_local, g)

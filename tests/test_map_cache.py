@@ -321,3 +321,40 @@ class TestMapFrameBinned:
                                        CAM, cfg)
         np.testing.assert_allclose(np.asarray(got_hist), np.asarray(ref_hist),
                                    rtol=5e-4)
+
+    def test_skipping_value_only_global_keeps_params_identical(self):
+        """log_global_loss=False skips the value-only (iter > 0) global
+        renders; trained parameters must be BIT-identical, and only the
+        logged hist on base-frame draws after iteration 0 may differ."""
+        target, t_active = scene(n=260, seed=12)
+        params, active = scene(n=200, seed=13)
+        fixed, f_active = scene(n=150, seed=14)
+        pose = (jnp.array([1.0, 0, 0, 0]), jnp.zeros(3))
+        colors, depths = _frames(target, t_active, [pose])
+        kf = KeyframeBuffer(
+            colors=colors, depths=depths, quats=pose[0][None],
+            trans=pose[1][None],
+            frame_ids=jnp.asarray([40], jnp.int32),   # always a base draw
+            count=jnp.asarray(1, jnp.int32))
+        rng = jax.random.PRNGKey(2)
+        kfc = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[build_kf_cache(params, active, *pose, CAM, span_cap=2,
+                             max_pairs_per_tile=MPT)])
+        gc = build_global_cache(fixed, f_active, params, active, *pose, CAM,
+                                span_cap=2, max_pairs_per_tile=MPT)
+        outs = {}
+        for log in (True, False):
+            cfg = MappingConfig(num_iters=4, lrs=LRS, loss_cfg=LCFG,
+                                use_global=True, baseframe_every=40,
+                                log_global_loss=log)
+            outs[log] = map_frame_binned(
+                params, kf, kfc, jnp.zeros((1,), jnp.int32), gc, rng,
+                CAM, cfg)
+        for a, b in zip(jax.tree.leaves(outs[True][0]),
+                        jax.tree.leaves(outs[False][0])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        h_log, h_skip = (np.asarray(outs[True][1]),
+                         np.asarray(outs[False][1]))
+        np.testing.assert_allclose(h_log[0], h_skip[0], rtol=1e-6)
+        assert (h_log[1:] > h_skip[1:]).all()   # skipped global component

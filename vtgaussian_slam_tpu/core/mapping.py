@@ -48,6 +48,13 @@ class MappingConfig(NamedTuple):
     loss_cfg: LossConfig   # tracking=False
     use_global: bool       # add frozen-section consistency term
     baseframe_every: int
+    # render the global term on value-only iterations (> 0) too. The value
+    # feeds ONLY the logged per-iteration loss (the gradient is stop_grad
+    # from iteration 1 on, matching the reference's no_grad rebuild) — so
+    # when per-iteration logging is off these full-concat renders are pure
+    # waste (~25-40 ms x ~1/bfe of iters) and the loop skips them; trained
+    # parameters are bit-identical either way.
+    log_global_loss: bool = True
 
 
 class KeyframeBuffer(NamedTuple):
@@ -131,10 +138,11 @@ def map_frame(
                 # reference rebuilds its global concat inside torch.no_grad
                 # from iteration 2 on (:2510 vs :2688,:2734), making the
                 # term value-only afterwards (see map_binned_loop)
-                return l + jax.lax.cond(
-                    is_first, g_loss,
-                    lambda v: g_loss(jax.tree.map(jax.lax.stop_gradient, v)),
-                    p)
+                later = ((lambda v: g_loss(
+                    jax.tree.map(jax.lax.stop_gradient, v)))
+                    if cfg.log_global_loss
+                    else (lambda v: jnp.zeros((), l.dtype)))
+                return l + jax.lax.cond(is_first, g_loss, later, p)
 
             # global term applies when the sampled keyframe is a base frame
             # (/root/reference/src/vtgaussian_slam.py:2599-2603)
@@ -206,9 +214,10 @@ def map_binned_loop(render_local, render_global, params, kf, kfc,
                 # every iteration INSIDE torch.no_grad() (:2688, :2734) —
                 # so the term contributes gradient only on the phase's
                 # FIRST iteration and is value-only (logging) afterwards.
-                return l + jax.lax.cond(
-                    is_first, g_loss,
-                    lambda v: g_loss(jax.lax.stop_gradient(v)), v8)
+                later = ((lambda v: g_loss(jax.lax.stop_gradient(v)))
+                         if cfg.log_global_loss
+                         else (lambda v: jnp.zeros((), l.dtype)))
+                return l + jax.lax.cond(is_first, g_loss, later, v8)
 
             # global term applies when the sampled keyframe is a base frame
             # (/root/reference/src/vtgaussian_slam.py:2599-2603); the global

@@ -1042,6 +1042,7 @@ class VTGaussianSLAM:
             loss_cfg=self._loss_cfg(False),
             use_global=use_global,
             baseframe_every=self.bfe,
+            log_global_loss=bool(self.config["use_wandb"]),
         )
         self.rng, k = jax.random.split(self.rng)
         active = sec.active_mask()

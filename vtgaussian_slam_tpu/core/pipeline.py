@@ -386,7 +386,14 @@ class VTGaussianSLAM:
             "t_track_cache": 0.0, "t_select": 0.0, "t_stage": 0.0,
             # pose init + far-depth + boundary selection (t_select subset)
             "t_track_prep": 0.0,
+            # host+H2D prep of frame t+1 overlapped with frame t's mapping
+            # jit (see _stage_ahead); counted INSIDE mapping_jit_time_sum's
+            # window but hidden by it whenever mapping runs longer
+            "t_stage_ahead": 0.0,
         }
+        # (kind, t)-keyed pose-free host work staged ahead of its frame;
+        # entries are popped on first use (see _stage_ahead)
+        self._host_memo = {}
 
         self._init_first_frame(color0, depth0)
 
@@ -409,10 +416,51 @@ class VTGaussianSLAM:
         mask = resize_mask_nearest(mask, width, height)
         return mask.astype(bool)
 
+    def _edge_mask(self, t, color_np, width, height) -> np.ndarray:
+        m = self._host_memo.pop(("emask", t, width, height), None)
+        return (m if m is not None
+                else self._edge_mask_for(color_np, width, height))
+
     def _densify_frame(self, t) -> Frame:
-        ds = self.densify_dataset if self.sep_densify else self.dataset
-        color, depth, _, _ = ds[t]
+        f = self._host_memo.pop(("dframe", t), None)
+        if f is not None:
+            return f
+        dd = self._host_memo.pop(("ddata", t), None)
+        if dd is None:
+            ds = self.densify_dataset if self.sep_densify else self.dataset
+            color, depth = ds[t][:2]
+        else:
+            color, depth = dd
         return self._stage(color, depth)
+
+    def _stage_ahead(self, t):
+        """Pose-free host + H2D work for frame t — dataset loads, device
+        staging, Canny edge masks — issued while frame t-1's mapping jit
+        owns the device, so transfers and host compute hide behind it.
+        Consumers pop from _host_memo and fall back to on-demand work, so
+        this is a pure overlap optimization (checkpoint resume, map_every
+        skips, and re-runs all behave identically)."""
+        cfg = self.config
+        if t >= self.num_frames or ("data", t) in self._host_memo:
+            return
+        m = self._host_memo
+        color_np, depth_np, _, gt_pose = self.dataset[t]
+        m[("data", t)] = (color_np, depth_np, gt_pose)
+        m[("frame", t)] = self._stage(color_np, depth_np)
+        boundary = (t % self.bfe) == 0
+        dcam = self.densify_cam if self.sep_densify else self.cam
+        maps = (t + 1) % cfg["map_every"] == 0
+        if boundary:
+            m[("emask", t, dcam.width, dcam.height)] = self._edge_mask_for(
+                color_np, dcam.width, dcam.height)
+            if self.sep_densify:
+                ddata = self.densify_dataset[t][:2]
+                m[("dframe", t)] = self._stage(*ddata)
+        elif maps and cfg["mapping"]["add_new_gaussians"]:
+            m[("emask", t, self.cam.width, self.cam.height)] = \
+                self._edge_mask_for(color_np, self.cam.width, self.cam.height)
+            if self.sep_densify:
+                m[("ddata", t)] = self.densify_dataset[t][:2]
 
     def _loss_cfg(self, tracking: bool, use_vis: bool = False,
                   use_far: bool = False) -> LossConfig:
@@ -932,7 +980,9 @@ class VTGaussianSLAM:
         e_mask = resize_mask_nearest(edge_mask_np.astype(np.uint8),
                                      dcam.width, dcam.height).astype(bool)
         if self.sep_densify:
-            dcolor_np, ddepth_np, _, _ = self.densify_dataset[t]
+            dd = self._host_memo.pop(("ddata", t), None)
+            dcolor_np, ddepth_np = (dd if dd is not None
+                                    else self.densify_dataset[t][:2])
         else:
             dcolor_np, ddepth_np = color_np, depth_np
         dd0 = np.asarray(ddepth_np)[..., 0]
@@ -1128,6 +1178,9 @@ class VTGaussianSLAM:
             t_jit = time.time()
             new_params, map_hist = map_fn(
                 sec.params, kf, stack, slot_ids, gcache, k, self.cam, mcfg)
+            t0 = time.time()
+            self._stage_ahead(t + 1)     # hides behind the mapping jit
+            self.stats["t_stage_ahead"] += time.time() - t0
             new_params.means3d.block_until_ready()
             self.stats["mapping_jit_time_sum"] += time.time() - t_jit
             self.stats["mapping_jit_iters"] += mcfg.num_iters
@@ -1161,6 +1214,9 @@ class VTGaussianSLAM:
             new_params, map_hist = map_frame(sec.params, active,
                                              fixed_params, fixed_active, kf,
                                              k, self.cam, mcfg)
+            t0 = time.time()
+            self._stage_ahead(t + 1)     # hides behind the mapping jit
+            self.stats["t_stage_ahead"] += time.time() - t0
             new_params.means3d.block_until_ready()
             self.stats["mapping_jit_time_sum"] += time.time() - t_jit
             self.stats["mapping_jit_iters"] += mcfg.num_iters
@@ -1188,7 +1244,7 @@ class VTGaussianSLAM:
         parts = [(pts, cols, msq, keep)]
         dframe = self._densify_frame(t) if self.sep_densify else frame
         dcam = self.densify_cam if self.sep_densify else self.cam
-        dmask = self._edge_mask_for(color_np, dcam.width, dcam.height)
+        dmask = self._edge_mask(t, color_np, dcam.width, dcam.height)
         dpts, dcols, dmsq, dkeep = base_frame_pointcloud(
             dframe, dcam, w2c, mask=jnp.asarray(dmask))
         parts.append((dpts, dcols, dmsq, dkeep))
@@ -1201,10 +1257,16 @@ class VTGaussianSLAM:
         cfg = self.config
         self._cur_frame_idx = t
         t0 = time.time()
-        color_np, depth_np, _, gt_pose = self.dataset[t]
+        pre = self._host_memo.pop(("data", t), None)
+        if pre is None:
+            color_np, depth_np, _, gt_pose = self.dataset[t]
+        else:
+            color_np, depth_np, gt_pose = pre
         self.stats["t_dataset"] += time.time() - t0
         t0 = time.time()
-        frame = self._stage(color_np, depth_np)
+        frame = self._host_memo.pop(("frame", t), None)
+        if frame is None:
+            frame = self._stage(color_np, depth_np)
         jax.block_until_ready(frame.color)
         self.stats["t_stage"] += time.time() - t0
         gt_w2c = np.linalg.inv(np.asarray(gt_pose, np.float64))
@@ -1232,8 +1294,8 @@ class VTGaussianSLAM:
         if t == 0 or (t + 1) % cfg["map_every"] == 0:
             if cfg["mapping"]["add_new_gaussians"] and t > 0 and not boundary:
                 t0 = time.time()
-                edge_np = self._edge_mask_for(color_np, self.cam.width,
-                                              self.cam.height)
+                edge_np = self._edge_mask(t, color_np, self.cam.width,
+                                          self.cam.height)
                 self._densify(t, frame, edge_np, color_np, depth_np)
                 jax.block_until_ready(self.sections[bf_idx].params.means3d)
                 self.stats["t_densify"] += time.time() - t0

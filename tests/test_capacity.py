@@ -54,3 +54,30 @@ class TestCapacityLadder:
                 for n in np.random.default_rng(0).integers(
                     800_000, 980_000, 50)}
         assert len(caps) <= 2, caps
+
+
+class TestConcatActive:
+    def test_matches_slice_concat_and_pads_zero(self):
+        """The stable-shape _concat_active (dynamic-offset DMA writes +
+        tail mask) equals the naive active-prefix concatenate + zero pad,
+        for 1-D and 2-D fields and for capacity above/below sum(caps)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vtgaussian_slam_tpu.models.gaussians import _concat_active
+
+        caps, sizes = [32, 48, 16], [20, 41, 9]
+        parts = tuple(
+            jnp.arange(c * 3, dtype=jnp.float32).reshape(c, 3) + 100 * i
+            for i, c in enumerate(caps))
+        want = np.concatenate(
+            [np.asarray(p)[:s] for p, s in zip(parts, sizes)])
+        for cap_out in (96, 128):
+            got = np.asarray(_concat_active(
+                parts, jnp.asarray(sizes, jnp.int32), cap_out))
+            pad = np.zeros((cap_out - want.shape[0], 3), np.float32)
+            np.testing.assert_array_equal(got, np.concatenate([want, pad]))
+        got1 = np.asarray(_concat_active(
+            tuple(p[:, 0] for p in parts), jnp.asarray(sizes, jnp.int32), 96))
+        np.testing.assert_array_equal(
+            got1, np.concatenate([want[:, 0], np.zeros(26, np.float32)]))

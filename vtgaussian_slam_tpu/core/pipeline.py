@@ -551,13 +551,16 @@ class VTGaussianSLAM:
             if bf_idx == 1:
                 top_time = 0
             else:
+                # score the FULL quantum-padded pool (stable shapes: one
+                # compile per 64-entry rung, not one per boundary) and
+                # restrict to live entries host-side
                 B = len(self.baseframes)
                 self.rng, k = jax.random.split(self.rng)
                 pct = overlap_percents(
                     frame.depth[0], cand_w2c, K,
-                    self.baseframes.w2cs()[:B], self.baseframes.depths[:B],
+                    self.baseframes.w2cs(), self.baseframes.depths,
                     k, pixels=1600, edge=tr["edge"], use_vis=False)
-                sel = select_topk_overlap(np.asarray(pct), 1)
+                sel = select_topk_overlap(np.asarray(pct)[:B], 1)
                 top_time = self.baseframes.ids[sel[-1]] if sel else 0
             corr = [top_time, (bf_idx - 1) * self.bfe, t]
             self.tracking_corr.append(corr)
@@ -586,13 +589,13 @@ class VTGaussianSLAM:
         self.rng, k = jax.random.split(self.rng)
         pct = overlap_percents(
             frame.depth[0], cand_w2c, K,
-            self.baseframes.w2cs()[:pool], self.baseframes.depths[:pool],
+            self.baseframes.w2cs(), self.baseframes.depths,
             k, pixels=0, edge=tr["edge"], use_vis=True,
             kf_depth_thresh=tr["kf_depth_thresh"],
             depth_stride=self.baseframes.stride)
         topk = None if (t // self.bfe) <= 2 else tr["topk_base"]
         secs = select_earliest_topk_base(
-            np.asarray(pct), cfg, tr["earliest_thres"],
+            np.asarray(pct)[:pool], cfg, tr["earliest_thres"],
             tr["lower_earliest_thres_percent"], topk)
         self.earliest_corr.append([t, "selected_baseframes", secs])
         return secs, secs[0] * self.bfe
@@ -1027,10 +1030,10 @@ class VTGaussianSLAM:
                     self.rng, k = jax.random.split(self.rng)
                     pct = overlap_percents(
                         frame.depth[0], curr_w2c, K,
-                        self.baseframes.w2cs()[:B], self.baseframes.depths[:B],
+                        self.baseframes.w2cs(), self.baseframes.depths,
                         k, pixels=1600, edge=cfg["tracking"]["edge"],
                         use_vis=False)
-                    sel = select_topk_overlap(np.asarray(pct), 1)
+                    sel = select_topk_overlap(np.asarray(pct)[:B], 1)
                     overlap_sec = (self.baseframes.ids[sel[-1]] // self.bfe
                                    if sel else 0)
                 else:
@@ -1039,12 +1042,11 @@ class VTGaussianSLAM:
                     self.rng, k = jax.random.split(self.rng)
                     pct = overlap_percents(
                         frame.depth[0], curr_w2c, K,
-                        self.baseframes.w2cs()[:pool],
-                        self.baseframes.depths[:pool],
+                        self.baseframes.w2cs(), self.baseframes.depths,
                         k, pixels=0, edge=cfg["tracking"]["edge"], use_vis=True,
                         kf_depth_thresh=cfg["tracking"]["kf_depth_thresh"],
                         depth_stride=self.baseframes.stride)
-                    sel, _ = select_visbased(np.asarray(pct), 1)
+                    sel, _ = select_visbased(np.asarray(pct)[:pool], 1)
                     overlap_sec = (self.baseframes.ids[sel[0]] // self.bfe
                                    if sel else 0)
             self.fixed_section_ids = (overlap_sec, bf_idx - 1)

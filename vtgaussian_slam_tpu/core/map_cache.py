@@ -327,10 +327,21 @@ class MapCacheStore:
 
     def _build(self, params, active, ring_idx, cam, span_cap, mpt):
         quat, trans = self.poses[ring_idx]
-        return build_kf_cache(params, active, jnp.asarray(quat),
-                              jnp.asarray(trans), cam, span_cap=span_cap,
-                              max_pairs_per_tile=mpt,
-                              tile_pad=self.tile_pad)
+        built = build_kf_cache(params, active, jnp.asarray(quat),
+                               jnp.asarray(trans), cam, span_cap=span_cap,
+                               max_pairs_per_tile=mpt,
+                               tile_pad=self.tile_pad)
+        import os
+        if os.environ.get("VTGS_DUMP_COUNTS"):
+            import numpy as np
+            n_tiles = (-(-cam.height // 16)) * (-(-cam.width // 16))
+            c = np.asarray(built.counts)[:n_tiles]
+            print(f"[counts:map] mpt={mpt} max={c.max()} "
+                  f"p99={np.percentile(c, 99):.0f} "
+                  f"p90={np.percentile(c, 90):.0f} "
+                  f"p50={np.percentile(c, 50):.0f} "
+                  f"p10={np.percentile(c, 10):.0f} mean={c.mean():.0f}")
+        return built
 
     def _write(self, slot, kfc_one):
         self.stack = jax.tree.map(

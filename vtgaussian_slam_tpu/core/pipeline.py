@@ -637,6 +637,14 @@ class VTGaussianSLAM:
                     (np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
                 self.stats["tile_truncation_frac_max"] = max(
                     self.stats["tile_truncation_frac_max"], trunc)
+                if os.environ.get("VTGS_DUMP_COUNTS"):
+                    c = np.asarray(cache.counts)[:n_tiles]
+                    print(f"[counts:track] mpt={mpt} max={c.max()} "
+                          f"p99={np.percentile(c, 99):.0f} "
+                          f"p90={np.percentile(c, 90):.0f} "
+                          f"p50={np.percentile(c, 50):.0f} "
+                          f"p10={np.percentile(c, 10):.0f} "
+                          f"mean={c.mean():.0f}")
                 # closed-loop pair budget (see auto_pair_budget): >5% of
                 # tiles at the cap means silhouettes are lying; raise the
                 # budget target for the NEXT _update_pair_budget (mapping of

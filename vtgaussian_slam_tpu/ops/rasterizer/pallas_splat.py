@@ -281,7 +281,7 @@ def _splat_weights(p, rec_rgb, phi, tox, toy, lane, j0, count, T, chunk, tri,
                 include=include, weight=weight, cols=cols, z0=z0, zc=c)
 
 
-def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
+def _fwd_kernel(count_ref, tid_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
                 chunk: int, mpt: int, block: int):
     blk = pl.program_id(0)
     tiles_x = meta_ref[0]
@@ -293,7 +293,9 @@ def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
     for b in range(block):
         tl = blk * block + b
         count = count_ref[tl]
-        t = tl + meta_ref[1]              # global tile id (sharded grids)
+        # global tile id: explicit per-row id (two-class binning renders an
+        # arbitrary tile subset) plus the sharded grids' range offset
+        t = tid_ref[tl] + meta_ref[1]
         tox = ((t % tiles_x) * TILE).astype(f32)
         toy = ((t // tiles_x) * TILE).astype(f32)
         n_chunks = pl.cdiv(count, chunk)
@@ -330,8 +332,8 @@ def _fwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
         out_ref[b] = accum
 
 
-def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
-                grad_ref, *, chunk: int, mpt: int, block: int,
+def _bwd_kernel(count_ref, tid_ref, meta_ref, cp_ref, slots_ref, out_ref,
+                g_ref, grad_ref, *, chunk: int, mpt: int, block: int,
                 mode: str):
     """Backward walk. mode selects which chains run and what is emitted:
     "vals"      -> grad_ref (block, 8, mpt) rows [0,0,0, d lo, d ls, d rgb]
@@ -367,7 +369,7 @@ def _bwd_kernel(count_ref, meta_ref, cp_ref, slots_ref, out_ref, g_ref,
     for b in range(block):
         tl = blk * block + b
         count = count_ref[tl]
-        t = tl + meta_ref[1]
+        t = tid_ref[tl] + meta_ref[1]
         tox = ((t % tiles_x) * TILE).astype(f32)
         toy = ((t // tiles_x) * TILE).astype(f32)
 
@@ -575,25 +577,28 @@ def splat_blend(slots8: jnp.ndarray, R: jnp.ndarray,
 
 
 def _fwd_call(slots8, R, trans, counts, tile_offset, cam, tiles_x,
-              chunk, interpret):
+              chunk, interpret, tids=None):
     n_tiles, _, mpt = slots8.shape
     assert n_tiles % BLOCK == 0, (n_tiles, BLOCK)
+    if tids is None:
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
     kernel = functools.partial(_fwd_kernel, chunk=chunk, mpt=mpt, block=BLOCK)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_tiles // BLOCK,),
             in_specs=[
-                pl.BlockSpec((BLOCK, 8, mpt), lambda t, c_, m_, cp_: (t, 0, 0)),
+                pl.BlockSpec((BLOCK, 8, mpt),
+                             lambda t, c_, i_, m_, cp_: (t, 0, 0)),
             ],
             out_specs=pl.BlockSpec((BLOCK, NCH, TPX),
-                                   lambda t, c_, m_, cp_: (t, 0, 0)),
+                                   lambda t, c_, i_, m_, cp_: (t, 0, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, NCH, TPX), slots8.dtype),
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(counts,
+    )(counts, tids,
       jnp.stack([jnp.asarray(tiles_x, jnp.int32),
                  jnp.asarray(tile_offset, jnp.int32)]),
       _cp_vector(R, trans, cam), slots8)
@@ -607,40 +612,44 @@ def _splat_fwd(slots8, R, trans, counts, tile_offset, cam, tiles_x,
 
 
 def _bwd_call(slots8, R, trans, counts, tile_offset, out, g, cam,
-              tiles_x, chunk, interpret, mode):
+              tiles_x, chunk, interpret, mode, tids=None):
     n_tiles, _, mpt = slots8.shape
+    if tids is None:
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
     kernel = functools.partial(_bwd_kernel, chunk=chunk, mpt=mpt, block=BLOCK,
                                mode=mode)
     if mode == "pose":
         out_shape = jax.ShapeDtypeStruct((n_tiles // BLOCK, 8, 128),
                                          slots8.dtype)
-        out_spec = pl.BlockSpec((1, 8, 128), lambda t, c_, m_, cp_: (t, 0, 0))
+        out_spec = pl.BlockSpec((1, 8, 128),
+                                lambda t, c_, i_, m_, cp_: (t, 0, 0))
     elif mode == "vals_rows":
         out_shape = jax.ShapeDtypeStruct((n_tiles, mpt, 8), slots8.dtype)
         out_spec = pl.BlockSpec((BLOCK, mpt, 8),
-                                lambda t, c_, m_, cp_: (t, 0, 0))
+                                lambda t, c_, i_, m_, cp_: (t, 0, 0))
     else:
         out_shape = jax.ShapeDtypeStruct((n_tiles, 8, mpt), slots8.dtype)
         out_spec = pl.BlockSpec((BLOCK, 8, mpt),
-                                lambda t, c_, m_, cp_: (t, 0, 0))
+                                lambda t, c_, i_, m_, cp_: (t, 0, 0))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_tiles // BLOCK,),
             in_specs=[
-                pl.BlockSpec((BLOCK, 8, mpt), lambda t, c_, m_, cp_: (t, 0, 0)),
+                pl.BlockSpec((BLOCK, 8, mpt),
+                             lambda t, c_, i_, m_, cp_: (t, 0, 0)),
                 pl.BlockSpec((BLOCK, NCH, TPX),
-                             lambda t, c_, m_, cp_: (t, 0, 0)),
+                             lambda t, c_, i_, m_, cp_: (t, 0, 0)),
                 pl.BlockSpec((BLOCK, NCH, TPX),
-                             lambda t, c_, m_, cp_: (t, 0, 0)),
+                             lambda t, c_, i_, m_, cp_: (t, 0, 0)),
             ],
             out_specs=out_spec,
         ),
         out_shape=out_shape,
         compiler_params=_params(interpret),
         interpret=interpret,
-    )(counts,
+    )(counts, tids,
       jnp.stack([jnp.asarray(tiles_x, jnp.int32),
                  jnp.asarray(tile_offset, jnp.int32)]),
       _cp_vector(R, trans, cam), slots8, out, g)

@@ -328,7 +328,15 @@ def _fwd_kernel(count_ref, tid_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
 
         T0 = jnp.ones((TPX, 1), f32)
         A0 = jnp.zeros((NCH, TPX), f32)
-        _, _, accum = jax.lax.while_loop(cond, body, (0, T0, A0))
+        _, T_end, accum = jax.lax.while_loop(cond, body, (0, T0, A0))
+        # pad channel 6 carries the per-pixel FINAL transmittance (zeroed
+        # where the walk terminated): counts-saturated tiles with
+        # max-pixel T_end >= T_TERMINATE are HARMFULLY truncated — the
+        # dropped tail would have rendered (pipeline pair-budget feedback).
+        # assemble_image reads channels :6 only, and backward cotangents on
+        # channel 6 are zero by construction, so the math is unchanged.
+        accum = jnp.concatenate(
+            [accum[0:6], T_end.reshape(1, TPX), accum[7:8]], axis=0)
         out_ref[b] = accum
 
 

@@ -335,9 +335,12 @@ def _fwd_kernel(count_ref, tid_ref, meta_ref, cp_ref, slots_ref, out_ref, *,
         # dropped tail would have rendered (pipeline pair-budget feedback).
         # assemble_image reads channels :6 only, and backward cotangents on
         # channel 6 are zero by construction, so the math is unchanged.
-        accum = jnp.concatenate(
-            [accum[0:6], T_end.reshape(1, TPX), accum[7:8]], axis=0)
-        out_ref[b] = accum
+        # Inserted with a row-iota select, NOT a (6+1+1)-row concatenate:
+        # Mosaic rejects that concat with "result/input offset mismatch on
+        # non-concat dimension" on real TPUs (the round-3 HEAD regression).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (NCH, TPX), 0)
+        T_row = jnp.broadcast_to(T_end.reshape(1, TPX), (NCH, TPX))
+        out_ref[b] = jnp.where(ri == 6, T_row, accum)
 
 
 def _bwd_kernel(count_ref, tid_ref, meta_ref, cp_ref, slots_ref, out_ref,

@@ -79,6 +79,13 @@ def bench_config():
         densification_image_width=2400,
         start=0, end=-1, stride=1, num_frames=-1,
     )
+    # experiment knob: override the pair-budget floor (importance binning
+    # keeps a saturated tile's top-alpha pairs, so smaller budgets stay
+    # render-honest — certified by the pixel-diff-vs-4x oracle below)
+    mpt = int(os.environ.get("VTGS_BENCH_MPT", "0"))
+    if mpt:
+        config["tpu"]["max_pairs_per_tile"] = mpt
+        config["tpu"]["map_max_pairs_per_tile"] = mpt
     return config
 
 
@@ -114,7 +121,8 @@ def measure_truncation(engine):
     for m in (mpt, 4 * mpt):
         kfc = build_kf_cache(sec.params, sec.active_mask(), q, tr, cam,
                              span_cap=span, max_pairs_per_tile=m,
-                             tile_pad=engine.tile_pad)
+                             tile_pad=engine.tile_pad,
+                             select=engine._bin_select)
         accum = splat_binned(f8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
                              kfc.counts, cam, 128,
                              jax.default_backend() == "cpu")
@@ -154,6 +162,12 @@ def main():
 
     jax.monitoring.register_event_duration_secs_listener(_on_event)
 
+    # the engine narrates (auto_pair_budget, warnings) on stdout; the
+    # driver contract is ONE JSON line there, so reroute engine prints to
+    # stderr for the whole run and restore for the final JSON line
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
     engine = VTGaussianSLAM(bench_config())
     t_setup = time.time()
     engine.process_frame_zero()
@@ -162,8 +176,10 @@ def main():
     print(f"[bench] frame 0 (map compile): {warmup_s:.1f}s", file=sys.stderr)
 
     BREAK = ("tracking_jit_time_sum", "mapping_jit_time_sum", "t_dataset",
-             "t_densify", "t_map_store", "t_global_concat", "t_global_cache",
-             "t_track_cache", "t_select", "t_stage", "t_track_prep")
+             "t_densify", "t_densify_fetch", "t_densify_host", "t_map_store",
+             "t_global_concat", "t_global_cache", "t_track_cache", "t_select",
+             "t_stage", "t_track_prep", "t_spawn", "t_sel_pool",
+             "t_sel_walk", "t_page", "t_prefetch", "t_map_select")
     rows = []  # (t, dt, track_iters, map_iters, frame_compile_s)
     for t in range(1, NUM_FRAMES):
         s0 = dict(engine.stats)
@@ -201,6 +217,7 @@ def main():
               file=sys.stderr)
     print(f"[bench] steady window: {len(kept)} frames, {iters} iters, "
           f"{secs:.1f}s, working-set gaussians {n_total}", file=sys.stderr)
+    sys.stdout = real_stdout
     print(json.dumps({
         "metric": "replica-room0-proxy full-engine combined track+map "
                   "iters/sec (680x1200, p2p tracking, densify+selection+"
@@ -214,7 +231,11 @@ def main():
         "warmup_s": round(warmup_s, 1),
         "total_backend_compile_s": round(compile_s[0], 1),
         "compile_frames_excluded": [(r[0], round(r[1], 1)) for r in skipped],
-        # truncation honesty (see measure_truncation)
+        # truncation honesty (see measure_truncation); probe_diff_max is
+        # the worst in-loop measured pixel diff that drove the budget
+        # control during the run (map_cache.trunc_probe)
+        "trunc_probe_diff_max": round(
+            float(engine.stats.get("trunc_probe_diff_max", 0.0)), 5),
         **trunc,
     }))
 

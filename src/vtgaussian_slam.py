@@ -52,15 +52,21 @@ def main():
     eval_dir = os.path.join(results_dir, "eval")
     os.makedirs(eval_dir, exist_ok=True)
 
-    # LPIPS column is populated when pretrained AlexNet weights are supplied
-    # via VTGS_LPIPS_WEIGHTS (see eval/lpips.py and eval/lpips_convert.py),
-    # NaN otherwise — matching the reference's always-on torchmetrics LPIPS
-    # (/root/reference/utils/eval_helpers.py:20-27,455) up to weight
-    # availability in this egress-free environment.
+    # LPIPS matches the reference's always-on torchmetrics LPIPS
+    # (/root/reference/utils/eval_helpers.py:20-27,455) when pretrained
+    # AlexNet weights are supplied via VTGS_LPIPS_WEIGHTS (see eval/lpips.py
+    # and eval/lpips_convert.py). Without weights it scores through the
+    # documented untrained-backbone fallback — finite and useful for
+    # comparing runs of this framework, but NOT comparable to published
+    # pretrained-LPIPS numbers (eval/lpips.py module docstring).
     lpips = lpips_fn()
     if lpips is None and os.environ.get("VTGS_LPIPS_WEIGHTS"):
         print("WARNING: VTGS_LPIPS_WEIGHTS set but weights failed to load; "
               "LPIPS will be NaN")
+    elif lpips is not None and lpips.source == "untrained-fallback":
+        print("NOTE: LPIPS uses the untrained-backbone fallback (no "
+              "VTGS_LPIPS_WEIGHTS supplied); values are self-consistent but "
+              "not comparable to pretrained-AlexNet LPIPS")
 
     if config["eval_mode"]:
         from vtgaussian_slam_tpu.core.pipeline import build_dataset

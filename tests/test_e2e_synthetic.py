@@ -203,6 +203,58 @@ class TestAutoPairBudget:
         assert bk["max_pairs_per_tile"] == expect
 
 
+class TestPairBudgetControl:
+    """The measured-harm budget control (pipeline._update_pair_budget):
+    boost x2 only on TWO consecutive probe readings > 1% (one transient —
+    e.g. an untrained early map — cannot wind the budget up), decay /2 only
+    on FOUR consecutive readings < 0.2%, history reset after each change
+    so the new budget is re-probed from scratch."""
+
+    def _engine(self):
+        cfg = make_config(num_frames=2, track_iters=3, map_iters=3,
+                          auto_pair_budget=True)
+        eng = VTGaussianSLAM(cfg)
+        eng.run(progress=False)
+        return eng
+
+    def test_hysteresis(self):
+        import numpy as np
+
+        eng = self._engine()
+        eng._mpt_boost, eng._harm_hist = 1, []
+
+        def feed(v):
+            eng._pending_harm = np.float32(v)
+            eng._update_pair_budget()
+
+        feed(0.9)                      # transient: no boost yet
+        assert eng._mpt_boost == 1
+        assert eng._harm_hist == [pytest.approx(0.9)]
+        feed(0.0001)                   # healed: still no boost
+        assert eng._mpt_boost == 1
+        feed(0.05)
+        feed(0.02)                     # two consecutive > 1% -> boost
+        assert eng._mpt_boost == 2 and eng._harm_hist == []
+        for v in (0.0, 0.0, 0.0):      # three clean: not enough to decay
+            feed(v)
+        assert eng._mpt_boost == 2
+        feed(0.0)                      # fourth clean -> decay
+        assert eng._mpt_boost == 1 and eng._harm_hist == []
+        feed(0.0)                      # at floor: clean readings no-op
+        assert eng._mpt_boost == 1
+        # probe cadence tightens while fewer than two readings exist
+        assert len(eng._harm_hist) < 2
+
+    def test_stat_records_max(self):
+        import numpy as np
+
+        eng = self._engine()
+        base = eng.stats.get("trunc_probe_diff_max", 0.0)
+        eng._pending_harm = np.float32(max(base, 0.5))
+        eng._update_pair_budget()
+        assert eng.stats["trunc_probe_diff_max"] >= 0.5
+
+
 class TestTrackingLossViz:
     def test_viz_dump_lands(self, tmp_path):
         """visualize_tracking_loss writes per-frame debug figures

@@ -122,6 +122,84 @@ class TestLPIPS:
         assert f is not None
 
 
+class TestTorchForwardParity:
+    """The JAX LPIPS forward against an independent torch implementation of
+    the published architecture (Zhang et al. 2018: AlexNet trunk, slices
+    after each relu, unit-normalized feature diffs, 1x1 lin heads, spatial
+    mean) — torch convolutions/pooling as the numerical oracle (VERDICT r3
+    item 5: the metric path had never been checked against torch math)."""
+
+    def _torch_lpips(self, state, im0, im1):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+        convs = [("net.slice1.0", 4, 2), ("net.slice2.3", 1, 2),
+                 ("net.slice3.6", 1, 1), ("net.slice4.8", 1, 1),
+                 ("net.slice5.10", 1, 1)]
+
+        def feats(x):
+            h = (x - shift) / scale
+            out = []
+            for i, (name, stride, pad) in enumerate(convs):
+                if i in (1, 2):          # maxpool after slices 1 and 2
+                    h = F.max_pool2d(h, 3, 2)
+                w = torch.from_numpy(state[f"{name}.weight"])
+                b = torch.from_numpy(state[f"{name}.bias"])
+                h = F.relu(F.conv2d(h, w, b, stride=stride, padding=pad))
+                out.append(h)
+            return out
+
+        x0 = torch.from_numpy(im0)[None] * 2 - 1
+        x1 = torch.from_numpy(im1)[None] * 2 - 1
+        total = 0.0
+        for i, (a, b) in enumerate(zip(feats(x0), feats(x1))):
+            na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            w = torch.from_numpy(state[f"lin{i}.model.1.weight"]).view(
+                1, -1, 1, 1)
+            total = total + ((na - nb) ** 2 * w).sum(1).mean()
+        return float(total)
+
+    @pytest.mark.parametrize("seed", [0, 7])
+    def test_matches_torch_forward(self, seed):
+        state = torch_style_state(seed)
+        f = lpips_fn(convert_state_dict(state))
+        rng = np.random.default_rng(seed + 10)
+        im0 = rng.random((3, 67, 97)).astype(np.float32)
+        im1 = np.clip(im0 + rng.normal(0, 0.1, im0.shape), 0, 1).astype(
+            np.float32)
+        ours = f(im0, im1)
+        ref = self._torch_lpips(state, im0, im1)
+        assert ours == pytest.approx(ref, rel=2e-4), (ours, ref)
+
+    def test_fallback_is_deterministic_and_sane(self):
+        from vtgaussian_slam_tpu.eval.lpips import synthetic_lpips_weights
+
+        f = lpips_fn(synthetic_lpips_weights())
+        g = lpips_fn(synthetic_lpips_weights())
+        rng = np.random.default_rng(3)
+        a = rng.random((3, 64, 96)).astype(np.float32)
+        b = rng.random((3, 64, 96)).astype(np.float32)
+        blur = a.copy()
+        blur[:, 1:-1] = (a[:, :-2] + a[:, 1:-1] + a[:, 2:]) / 3
+        assert f(a, b) == g(a, b)                 # deterministic
+        assert f(a, a) < 1e-6                     # identity -> 0
+        assert f(a, blur) < f(a, b)               # mild blur < random image
+        # torch parity holds for the fallback weights too
+        ref = TestTorchForwardParity._torch_lpips(
+            self, synthetic_lpips_weights(), a, b)
+        assert f(a, b) == pytest.approx(ref, rel=2e-4)
+
+    def test_default_lpips_fn_falls_back(self, monkeypatch):
+        monkeypatch.delenv("VTGS_LPIPS_WEIGHTS", raising=False)
+        f = lpips_fn()
+        assert f is not None and f.source == "untrained-fallback"
+        monkeypatch.setenv("VTGS_LPIPS_FALLBACK", "0")
+        assert lpips_fn() is None
+
+
 class TestConverterSchemaMatrix:
     """The converter against the EXACT key layouts of the two real
     checkpoint families it claims to handle (VERDICT round-2 item 9):

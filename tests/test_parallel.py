@@ -239,12 +239,17 @@ class TestShardedEngineLoops:
         cfg = make_config(num_frames=4, baseframe_every=5, track_iters=6,
                           map_iters=6, motion_scale=0.05)
         cfg["tpu"]["mesh_devices"] = 8
+        # force the SHARDED mapping twin on the CPU mesh (map_binned
+        # defaults off on cpu; without it mapping silently ran generic
+        # single-device and this test never exercised the sharded map)
+        cfg["tpu"]["map_binned"] = True
         eng = VTGaussianSLAM(cfg)
         assert eng.mesh is not None, "mesh engine must engage on 8 devices"
         eng.run(progress=False)
 
         cfg1 = make_config(num_frames=4, baseframe_every=5, track_iters=6,
                            map_iters=6, motion_scale=0.05)
+        cfg1["tpu"]["map_binned"] = True
         eng1 = VTGaussianSLAM(cfg1)
         eng1.run(progress=False)
 
@@ -255,3 +260,33 @@ class TestShardedEngineLoops:
         t1 = np.asarray(eng1.traj.trans[:4])
         np.testing.assert_allclose(t8, t1, rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(q8, q1, rtol=1e-3, atol=1e-4)
+
+    def test_unsharded_path_on_mesh_raises(self):
+        """A config routing to the generic (unsharded) paths must fail at
+        construction on a mesh instead of silently running single-device
+        (VERDICT r3 item 7); tpu.allow_unsharded_fallback=True opts back
+        into the old warning behavior."""
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        from test_e2e_synthetic import make_config
+        from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
+
+        cfg = make_config(num_frames=4)
+        cfg["tpu"]["mesh_devices"] = 8
+        cfg["tpu"]["map_binned"] = True
+        cfg["gaussian_distribution"] = "anisotropic"
+        with pytest.raises(ValueError, match="unsharded"):
+            VTGaussianSLAM(cfg)
+        # map_binned=False (or defaulted off on cpu) also rejects
+        cfg2 = make_config(num_frames=4)
+        cfg2["tpu"]["mesh_devices"] = 8
+        cfg2["tpu"]["map_binned"] = False
+        with pytest.raises(ValueError, match="map_binned"):
+            VTGaussianSLAM(cfg2)
+        # the explicit opt-out restores construction
+        cfg3 = make_config(num_frames=4)
+        cfg3["tpu"]["mesh_devices"] = 8
+        cfg3["tpu"]["map_binned"] = False
+        cfg3["tpu"]["allow_unsharded_fallback"] = True
+        eng = VTGaussianSLAM(cfg3)
+        assert eng.mesh is not None

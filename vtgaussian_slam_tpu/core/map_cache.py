@@ -86,7 +86,7 @@ def unpack_fields8(params: GaussianParams, f8: jnp.ndarray) -> GaussianParams:
 
 @functools.partial(
     jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
-                              "tile_pad"))
+                              "tile_pad", "select"))
 def build_kf_cache(
     params: GaussianParams,
     active: jnp.ndarray,
@@ -98,6 +98,7 @@ def build_kf_cache(
     span_cap: int = 2,
     max_pairs_per_tile: int = 512,
     tile_pad: int = 0,
+    select: str = "depth",
 ) -> KFBinCache:
     from ..ops import geometry as geo
 
@@ -117,7 +118,7 @@ def build_kf_cache(
                              jnp.exp(params.log_scales), params.opacities(),
                              cam, active)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
-                      with_inverse=True)
+                      with_inverse=True, select=select)
     tab, counts = pad_bin_tables(b.tab, b.counts, tile_pad)
     inv = slot_inverse(b.inv_pos)
     return KFBinCache(tab=tab, counts=counts, inv=inv,
@@ -125,8 +126,49 @@ def build_kf_cache(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cam", "span_cap", "mpt", "tile_pad",
+                              "select", "chunk"))
+def trunc_probe(params: GaussianParams, active: jnp.ndarray,
+                quat: jnp.ndarray, trans: jnp.ndarray, cam: Camera,
+                span_cap: int = 2, mpt: int = 512, tile_pad: int = 0,
+                select: str = "importance",
+                chunk: int = 128) -> jnp.ndarray:
+    """MEASURED truncation harm at one pose: the fraction of rgb pixels
+    differing by > 1/255 between renders at the engine's pair budget and
+    at 4x that budget — the same oracle bench.measure_truncation reports.
+
+    This drives the closed-loop pair-budget boost
+    (pipeline._update_pair_budget). The cheaper per-frame proxies are both
+    WRONG for control: tile-count saturation fires on benign tiles whose
+    blend saturates first, and leftover-transmittance (T_end telemetry)
+    fires permanently on genuinely non-opaque content (sky/far regions) and
+    on not-yet-trained maps — measured 10-24% "harm" while this oracle
+    read 0.035% at the same budget, which oscillated the budget between
+    buckets and paid a recompile per flip. The probe costs one extra
+    binning + two renders (~0.2 s), dispatched asynchronously every
+    tpu.trunc_probe_every frames (default 10, plus the first frames after
+    any budget change), so its amortized cost is ~20 ms/frame."""
+    from ..ops.rasterizer.pallas_splat import assemble_image
+
+    f8 = pack_fields8(params)
+    ims = []
+    for m in (mpt, 4 * mpt):
+        kfc = build_kf_cache(params, active, quat, trans, cam,
+                             span_cap=span_cap, max_pairs_per_tile=m,
+                             tile_pad=tile_pad, select=select)
+        # kernel chunk contract: the walk chunk must be a multiple of the
+        # 128-lane cumsum block (pallas_splat._cumsum_lanes)
+        accum = splat_binned(f8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
+                             kfc.counts, cam, max(chunk, 128),
+                             jax.default_backend() == "cpu")
+        ims.append(assemble_image(accum, cam)[:3])
+    diff = jnp.max(jnp.abs(ims[0] - ims[1]), axis=0)
+    return jnp.mean((diff > 1.0 / 255.0).astype(jnp.float32))
+
+
+@functools.partial(
     jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
-                              "tile_pad"))
+                              "tile_pad", "select"))
 def build_global_cache(
     fixed_params: GaussianParams,
     fixed_active: jnp.ndarray,
@@ -140,6 +182,7 @@ def build_global_cache(
     span_cap: int = 2,
     max_pairs_per_tile: int = 512,
     tile_pad: int = 0,
+    select: str = "depth",
 ) -> GlobalBinCache:
     from ..ops import geometry as geo
 
@@ -164,7 +207,7 @@ def build_global_cache(
     proj = project_gaussians(means_cam, quats, jnp.exp(log_scales),
                              jax.nn.sigmoid(logit_op[:, 0]), cam, act)
     b = bin_gaussians(proj, tile, span_cap, tiles_x, tiles_y, mpt,
-                      with_inverse=True)
+                      with_inverse=True, select=select)
     tab, counts = pad_bin_tables(b.tab, b.counts, tile_pad)
     inv = slot_inverse(b.inv_pos[n_fixed:])
     from .track_cache import fields8
@@ -301,10 +344,12 @@ class MapCacheStore:
     """
 
     def __init__(self, max_slots: int = 64, refresh: int = 1,
-                 tile_pad: int = 0, stale_age: int = 12):
+                 tile_pad: int = 0, stale_age: int = 12,
+                 select: str = "depth"):
         self.max_slots = max_slots
         self.refresh = refresh
         self.tile_pad = tile_pad
+        self.select = select
         # binning also depends on exp(log_scales), which train every
         # iteration — a slot untouched by densification still goes stale as
         # splats grow past their build-time radii, so slots older than
@@ -330,7 +375,7 @@ class MapCacheStore:
         built = build_kf_cache(params, active, jnp.asarray(quat),
                                jnp.asarray(trans), cam, span_cap=span_cap,
                                max_pairs_per_tile=mpt,
-                               tile_pad=self.tile_pad)
+                               tile_pad=self.tile_pad, select=self.select)
         import os
         if os.environ.get("VTGS_DUMP_COUNTS"):
             import numpy as np

@@ -22,7 +22,8 @@ TPU redesign of the reference mapping loop
   (e.g. configs/replica/room0.py:105-106) — numerically a no-op — so poses
   are held fixed here and the boundary re-anchoring (:2706-2727), which
   transports new Gaussians by the (unchanged) pose delta, reduces to the
-  identity. Revisit if a config ever sets real mapping pose lrs.
+  identity. Configs with MATERIAL mapping pose lrs (> 1e-5) are rejected at
+  engine construction (core/pipeline.py) rather than silently mis-run.
 
 The per-iteration random keyframe stream uses jax PRNG (counter-based,
 seeded from the run seed + frame index) instead of global numpy RNG state —

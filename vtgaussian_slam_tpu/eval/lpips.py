@@ -10,9 +10,16 @@ network egress and ships no pretrained weights, so:
 - weights load from an .npz whose arrays follow torch naming
   (`net.slice*.{idx}.weight/bias`, `lin{i}.model.1.weight`) via
   `load_lpips_weights(path)` or the `VTGS_LPIPS_WEIGHTS` env var;
-- without weights, `lpips_fn()` returns None and the eval pipeline reports
-  LPIPS as NaN (explicitly, instead of silently substituting a different
-  metric).
+- without weights, `lpips_fn()` falls back to DETERMINISTIC seeded
+  (untrained) backbone weights with uniform per-channel lin heads —
+  "random-feature LPIPS". Zhang et al. 2018 (Table 5) report that even
+  untrained-network feature distances correlate meaningfully with human
+  perceptual judgments, so the fallback is a usable relative metric for
+  comparing runs of THIS framework — but its absolute values are NOT
+  comparable to published (pretrained-AlexNet) LPIPS numbers. The returned
+  callable carries `.source` ("file" | "untrained-fallback") and callers
+  label the output accordingly. Set VTGS_LPIPS_FALLBACK=0 to restore the
+  old return-None/NaN behavior.
 """
 from __future__ import annotations
 
@@ -46,6 +53,31 @@ def load_lpips_weights(path: str | None = None) -> dict | None:
         return None
     data = np.load(path)
     return {k: np.asarray(data[k]) for k in data.files}
+
+
+# (name, out_ch, in_ch, kernel) of the AlexNet conv stack, torch-named
+_CONV_SHAPES = (
+    ("net.slice1.0", 64, 3, 11), ("net.slice2.3", 192, 64, 5),
+    ("net.slice3.6", 384, 192, 3), ("net.slice4.8", 256, 384, 3),
+    ("net.slice5.10", 256, 256, 3),
+)
+
+
+def synthetic_lpips_weights(seed: int = 0) -> dict:
+    """Deterministic untrained-backbone weights (module docstring): He-scaled
+    conv filters, zero biases, uniform 1/C lin heads (the "baseline" uniform
+    weighting of Zhang et al. over unit-normalized feature differences)."""
+    rng = np.random.default_rng(seed)
+    state = {}
+    for name, out_c, in_c, k in _CONV_SHAPES:
+        fan_in = in_c * k * k
+        state[f"{name}.weight"] = (rng.standard_normal((out_c, in_c, k, k))
+                                   * np.sqrt(2.0 / fan_in)).astype(np.float32)
+        state[f"{name}.bias"] = np.zeros(out_c, np.float32)
+    for i, (_, out_c, _, _) in enumerate(_CONV_SHAPES):
+        state[f"lin{i}.model.1.weight"] = np.full(
+            (1, out_c, 1, 1), 1.0 / out_c, np.float32)
+    return state
 
 
 def _conv(x, w, b, stride, pad):
@@ -83,9 +115,19 @@ def _normalize(feat, eps=1e-10):
 
 
 def lpips_fn(weights: dict | None = None):
-    """Build `f(img0, img1) -> score` or None if no weights are available.
-    Images are (3, H, W) or (1, 3, H, W) in [0, 1] (normalize=True parity)."""
-    weights = weights if weights is not None else load_lpips_weights()
+    """Build `f(img0, img1) -> score` (with a `.source` attribute) or None.
+    Images are (3, H, W) or (1, 3, H, W) in [0, 1] (normalize=True parity).
+
+    Weight resolution order: explicit `weights` dict -> VTGS_LPIPS_WEIGHTS
+    npz -> the untrained-fallback (module docstring; disable with
+    VTGS_LPIPS_FALLBACK=0, which restores return-None/NaN)."""
+    source = "file"
+    if weights is None:
+        weights = load_lpips_weights()
+        if weights is None and os.environ.get(
+                "VTGS_LPIPS_FALLBACK", "1") != "0":
+            weights = synthetic_lpips_weights()
+            source = "untrained-fallback"
     if weights is None or jax is None:
         return None
 
@@ -129,4 +171,8 @@ def lpips_fn(weights: dict | None = None):
             total = total + jnp.mean(jnp.sum(d * w, axis=1))
         return total
 
-    return lambda a, b: float(f(a, b))
+    def score(a, b):
+        return float(f(a, b))
+
+    score.source = source
+    return score

@@ -66,7 +66,8 @@ def tile_rects(proj: ProjectedGaussians, tile: int, span_cap: int,
 
 def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
                   tiles_x: int, tiles_y: int, mpt: int,
-                  with_inverse: bool = False) -> BinnedPairs:
+                  with_inverse: bool = False,
+                  select: str = "depth") -> BinnedPairs:
     """Bin projected Gaussians into per-tile depth-sorted gather tables.
 
     The (tile, depth) order is established by ONE stable single-key sort of
@@ -78,7 +79,23 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
     drops the second key comparison. Depth is LOG-quantized to the bits
     left under the tile id (>= 18 at ScanNet++ tile counts; ~6e-5 relative
     steps): far finer than alpha-blend order sensitivity, and ties keep
-    pair-id order (stable sort), so the order is deterministic."""
+    pair-id order (stable sort), so the order is deterministic.
+
+    select="importance" changes WHICH pairs survive a saturated tile's
+    budget (never their blend order): the big fused-key sort ranks a tile's
+    pairs by max-alpha-over-the-tile (opacity x conic falloff at the
+    nearest tile pixel) instead of depth, the top-mpt window is kept, and a
+    second SMALL (n_tiles, mpt) two-key sort restores exact (depth, pair-id)
+    blend order. Depth-prefix truncation (select="depth") drops the ENTIRE
+    depth tail of a saturated tile, surface splats included — measured
+    0.9-3.9% of rendered pixels wrong vs an untruncated render at the bench
+    working set; importance selection instead drops the lowest-contribution
+    pairs wherever they sit, measuring EXACT to 1e-3 at the same budget
+    (prof_imp.py, PSNR-vs-full 84 dB vs 50 dB). For unsaturated tiles both
+    selects produce bit-identical tables (the re-sort reproduces the stable
+    (tile, depth, pair-id) order). The CUDA reference composites ALL pairs
+    (SURVEY.md 2.9) — importance selection is strictly closer to that
+    semantics at any fixed budget."""
     N = proj.mean2d.shape[0]
     n_tiles = tiles_x * tiles_y
     s2 = span_cap * span_cap
@@ -110,6 +127,16 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
     # d <= sigma * sqrt(2 ln 255) = 3.33 sigma; radius = ceil(3 sigma), so
     # test against (1.11 * radius) >= 3.33 sigma — conservative.
     r2 = (1.11 * proj.radius) ** 2
+    if select == "importance":
+        # per-slot rank key = quantized -log(max alpha over the tile): the
+        # exact conic evaluated at the tile's nearest pixel to the mean.
+        # Range: alpha in [~1e-6, 1] -> -log in [0, ~14); quantize to the
+        # same bit budget the depth key uses.
+        ca, cb, cc = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+        nlop = -jnp.log(jnp.maximum(proj.opacity, 1e-6))
+        imp_scale = qmax / 14.0
+    elif select != "depth":
+        raise ValueError(f"unknown select mode {select!r}")
     slot_tiles = []
     for s in range(s2):
         dy, dx = s // span_cap, s % span_cap
@@ -119,8 +146,15 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
         dxp = px - jnp.clip(px, tx0, tx0 + (tile - 1))
         dyp = py - jnp.clip(py, ty0, ty0 + (tile - 1))
         ok = ok & (dxp * dxp + dyp * dyp <= r2)
+        if select == "importance":
+            power = (0.5 * (ca * dxp * dxp + cc * dyp * dyp)
+                     + cb * dxp * dyp)                 # = -log falloff >= 0
+            qr = jnp.clip((nlop + jnp.maximum(power, 0.0)) * imp_scale,
+                          0, qmax).astype(jnp.int32)
+        else:
+            qr = qd
         slot_tiles.append(jnp.where(
-            ok, (((ry0 + dy) * tiles_x + rx0 + dx) << depth_bits) | qd,
+            ok, (((ry0 + dy) * tiles_x + rx0 + dx) << depth_bits) | qr,
             sentinel))
     pair_key = jnp.stack(slot_tiles).reshape(-1)               # (p_max,)
     pair_id = jnp.arange(p_max, dtype=jnp.int32)               # s * N + g
@@ -135,6 +169,31 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
     counts = jnp.minimum(end - start, mpt)
     j = jnp.arange(mpt, dtype=jnp.int32)
     window = jnp.minimum(start[:, None] + j[None, :], p_max - 1)
+
+    if select == "importance":
+        # restore exact (depth, pair-id) blend order within the kept window:
+        # a SMALL (n_tiles, mpt) lane-axis two-key sort — out-of-count
+        # window entries (clamped reads) get +inf-like keys so they sort
+        # last and never alias real pairs
+        pid_w = s_id[window]                                   # (T, mpt)
+        in_count = j[None, :] < counts[:, None]
+        qd_w = jnp.where(in_count, qd[pid_w % N], jnp.int32(2 ** 30))
+        qd_s, pid_s = jax.lax.sort((qd_w, pid_w), dimension=1, num_keys=2)
+        tab = pid_s % N
+        inv_pos = None
+        if with_inverse:
+            flatpos = jnp.arange(n_tiles * mpt,
+                                 dtype=jnp.int32).reshape(n_tiles, mpt)
+            in_count_s = j[None, :] < counts[:, None]          # sorted-first
+            # dummy ids p_max+flatpos keep the scatter indices unique while
+            # mode="drop" discards them (out-of-range)
+            pid_scat = jnp.where(in_count_s, pid_s, p_max + flatpos)
+            pos_by_pair = jnp.full((p_max,), -1, jnp.int32).at[
+                pid_scat.reshape(-1)].set(flatpos.reshape(-1),
+                                          mode="drop", unique_indices=True)
+            inv_pos = pos_by_pair.reshape(s2, N).T             # (N, s2)
+        return BinnedPairs(tab=tab, counts=counts, inv_pos=inv_pos)
+
     tab = (s_id % N)[window]                                   # (n_tiles, mpt)
 
     inv_pos = None

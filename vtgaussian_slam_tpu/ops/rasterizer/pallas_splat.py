@@ -582,6 +582,17 @@ def splat_blend(slots8: jnp.ndarray, R: jnp.ndarray,
       "pose": only (dR, dt) — slot cotangents are zeros (tracking)
       "vals": only rows 3..7 — dR = dt = 0, mean rows zeroed (mapping)
       "all":  everything (generic / tests)
+
+    Channel layout of accum: rows 0..5 are the render (r, g, b, z, sil,
+    z^2 — assemble_image reads exactly these); row 6 carries per-pixel
+    FINAL transmittance telemetry (pair-budget harm feedback,
+    core/track_cache.cached_harm) and row 7 is pad. Rows 6..7 are
+    VALUE-ONLY: the backward has no gradient path through them, so any
+    consumer must not differentiate them (read via lax.stop_gradient or
+    outside grad). The `tids` operand of the private _fwd_call/_bwd_call
+    renders arbitrary tile subsets; if it ever becomes caller-facing it
+    MUST also join splat_blend's signature + the _splat_fwd residuals so
+    forward/backward cannot disagree.
     """
     return _fwd_call(slots8, R, trans, counts, tile_offset, cam,
                      tiles_x, chunk, interpret)

@@ -69,7 +69,6 @@ def save_checkpoint(engine, time_idx: int) -> str:
         "frame_color_loss": engine.frame_color_loss,
         "frame_depth_loss": engine.frame_depth_loss,
         "mpt_boost": engine._mpt_boost,
-        "boost_seen_mpt": engine._boost_seen_mpt,
         # RNG streams: without these, a resumed run replays selection /
         # mapping-draw randomness from PRNGKey(seed) and silently diverges
         # from the uninterrupted run
@@ -182,7 +181,6 @@ def load_checkpoint(engine, path: str | None = None,
     engine.frame_color_loss = meta.get("frame_color_loss", [])
     engine.frame_depth_loss = meta.get("frame_depth_loss", [])
     engine._mpt_boost = int(meta.get("mpt_boost", 1))
-    engine._boost_seen_mpt = int(meta.get("boost_seen_mpt", 0))
     if "jax_rng_key" in data:
         engine.rng = jnp.asarray(data["jax_rng_key"])
     st = meta.get("np_rng_state")

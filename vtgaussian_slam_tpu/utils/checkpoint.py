@@ -69,6 +69,12 @@ def save_checkpoint(engine, time_idx: int) -> str:
         "frame_color_loss": engine.frame_color_loss,
         "frame_depth_loss": engine.frame_depth_loss,
         "mpt_boost": engine._mpt_boost,
+        # probe-control state (core/pipeline._update_pair_budget): the
+        # recent measured-harm readings and the probe-cadence counter.
+        # _pending_harm (an in-flight device scalar) is deliberately
+        # dropped — the resumed run just re-probes.
+        "harm_hist": list(engine._harm_hist),
+        "frames_tracked": engine._frames_tracked,
         # RNG streams: without these, a resumed run replays selection /
         # mapping-draw randomness from PRNGKey(seed) and silently diverges
         # from the uninterrupted run
@@ -181,6 +187,9 @@ def load_checkpoint(engine, path: str | None = None,
     engine.frame_color_loss = meta.get("frame_color_loss", [])
     engine.frame_depth_loss = meta.get("frame_depth_loss", [])
     engine._mpt_boost = int(meta.get("mpt_boost", 1))
+    engine._harm_hist = [float(h) for h in meta.get("harm_hist", [])]
+    engine._frames_tracked = int(meta.get("frames_tracked", 0))
+    engine._pending_harm = None
     if "jax_rng_key" in data:
         engine.rng = jnp.asarray(data["jax_rng_key"])
     st = meta.get("np_rng_state")

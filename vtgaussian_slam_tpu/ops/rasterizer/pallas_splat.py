@@ -63,7 +63,12 @@ from .projection import COV2D_DILATION, NEAR_CULL
 TILE = 16
 TPX = TILE * TILE
 NCH = 8         # output channels (6 live + 2 pad)
-BLOCK = 8       # tiles per grid step (callers pad n_tiles to a multiple)
+# Tiles per grid step (callers pad n_tiles to a multiple via pad_tiles).
+# The per-tile chunk walk is a serial latency chain; the kernels unroll
+# BLOCK independent tiles per grid step so the scheduler can interleave
+# their instruction streams. 8 was picked on-chip for the v2 kernel;
+# VTGS_SPLAT_BLOCK sweeps it (import-time, like VTGS_SPLAT_PRECISION).
+BLOCK = int(__import__("os").environ.get("VTGS_SPLAT_BLOCK", "8"))
 
 # MXU precision for the in-kernel matmuls. One-pass-bf16 dots (with f32
 # accumulation) are ~30% faster end-to-end than exact f32 at the Replica

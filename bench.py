@@ -99,42 +99,74 @@ def measure_truncation(engine):
       - pixel_diff vs a 4x-budget render of the SAME params/pose: measured
         fraction of rgb pixels differing by > 1/255 and the max |diff|.
     The reference's CUDA rasterizer never drops pairs (SURVEY.md 2.9);
-    these numbers certify how close the budgeted render is to that."""
+    these numbers certify how close the budgeted render is to that.
+
+    When two-class binning is enabled (engine._k_dense > 0) the budgeted
+    side renders the REAL two-class operating point (dense tiles at mpt,
+    the rest at mpt // sparse_div) — the number certifies what the mapping
+    loop actually trains against, not a single-class proxy. The 4x oracle
+    stays single-class (every tile at 4*mpt)."""
     import jax
     import jax.numpy as jnp
 
     from vtgaussian_slam_tpu.core.map_cache import (build_kf_cache,
+                                                    build_kf_cache_2c,
                                                     pack_fields8,
-                                                    splat_binned)
+                                                    splat_binned,
+                                                    splat_binned_2c)
     from vtgaussian_slam_tpu.core.pipeline import _traj_read
     from vtgaussian_slam_tpu.ops.rasterizer.pallas_splat import assemble_image
 
     sec = engine.sections[-1]
     mpt = dict(engine.map_backend_kwargs)["max_pairs_per_tile"]
     span = dict(engine.map_backend_kwargs)["span_cap"]
-    q, tr = _traj_read(engine.traj.quats, engine.traj.trans, NUM_FRAMES - 1)
+    t = int(getattr(engine, "_cur_frame_idx", NUM_FRAMES - 1))
+    q, tr = _traj_read(engine.traj.quats, engine.traj.trans, t)
     f8 = pack_fields8(sec.params)
     cam = engine.cam
     n_tiles = (-(-cam.height // 16)) * (-(-cam.width // 16))
+    interp = jax.default_backend() == "cpu"
+    k_dense = int(getattr(engine, "_k_dense", 0))
 
-    accums = {}
-    for m in (mpt, 4 * mpt):
+    if k_dense > 0:
+        mpt_s = max(128, mpt // engine._two_class_div)
+        k2 = build_kf_cache_2c(sec.params, sec.active_mask(), q, tr, cam,
+                               span_cap=span, max_pairs_per_tile=mpt,
+                               mpt_sparse=mpt_s, k_dense=k_dense,
+                               select=engine._bin_select)
+        accum = splat_binned_2c(
+            f8, (k2.tab_d, k2.counts_d, k2.tids_d),
+            (k2.tab_s, k2.counts_s, k2.tids_s), k2.merge, k2.inv,
+            k2.quat, k2.trans, cam, 128, 128, interp)[:n_tiles]
+        # per-tile saturation at the tile's OWN class budget
+        sat_rows = jnp.concatenate([
+            (k2.counts_d >= mpt).astype(jnp.float32),
+            (k2.counts_s >= mpt_s).astype(jnp.float32)])
+        sat = sat_rows[k2.merge]
+        two_class = {"two_class_k_dense": k_dense, "two_class_mpt_s": mpt_s}
+    else:
         kfc = build_kf_cache(sec.params, sec.active_mask(), q, tr, cam,
-                             span_cap=span, max_pairs_per_tile=m,
+                             span_cap=span, max_pairs_per_tile=mpt,
                              tile_pad=engine.tile_pad,
                              select=engine._bin_select)
         accum = splat_binned(f8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
-                             kfc.counts, cam, 128,
-                             jax.default_backend() == "cpu")
-        accums[m] = (accum, kfc.counts)
-    accum, counts = accums[mpt]
-    sat = (counts[:n_tiles] >= mpt).astype(jnp.float32)
+                             kfc.counts, cam, 128, interp)
+        sat = (kfc.counts[:n_tiles] >= mpt).astype(jnp.float32)
+        two_class = {}
+
+    kfc4 = build_kf_cache(sec.params, sec.active_mask(), q, tr, cam,
+                          span_cap=span, max_pairs_per_tile=4 * mpt,
+                          tile_pad=engine.tile_pad,
+                          select=engine._bin_select)
+    accum4 = splat_binned(f8, kfc4.tab, kfc4.inv, kfc4.quat, kfc4.trans,
+                          kfc4.counts, cam, 128, interp)
     t_end = accum[:n_tiles, 6, :] * sat[:, None]
-    im_s = assemble_image(accums[mpt][0], cam)[:3]
-    im_b = assemble_image(accums[4 * mpt][0], cam)[:3]
+    im_s = assemble_image(accum, cam)[:3]
+    im_b = assemble_image(accum4, cam)[:3]
     diff = jnp.max(jnp.abs(im_s - im_b), axis=0)
     return {
         "map_mpt": int(mpt),
+        **two_class,
         "trunc_tile_frac": round(float(jnp.mean(sat)), 4),
         "trunc_T_bound_mean": round(float(jnp.mean(t_end)), 5),
         "trunc_T_bound_max": round(float(jnp.max(t_end)), 4),

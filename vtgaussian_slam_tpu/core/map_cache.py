@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from ..models.gaussians import GaussianParams
 from ..ops.camera import Camera
 from ..ops.rasterizer.binning import (SlotInv, apply_slot_inverse,
-                                      bin_gaussians, gather_channels,
-                                      slot_inverse)
+                                      bin_gaussians, bin_two_class,
+                                      gather_channels, slot_inverse)
 from ..ops.rasterizer.pallas_splat import (_bwd_call, _fwd_call,
                                            assemble_image, splat_blend)
 from ..ops.rasterizer.projection import project_gaussians
@@ -52,6 +52,24 @@ class KFBinCache(NamedTuple):
     counts: jnp.ndarray     # (Tp,) int32
     inv: SlotInv            # sorted inverse map (binning.slot_inverse)
     quat: jnp.ndarray       # (4,) keyframe w2c rotation (unnormalized)
+    trans: jnp.ndarray      # (3,)
+
+
+class KFBinCache2C(NamedTuple):
+    """Two-class per-keyframe frozen binning (binning.bin_two_class): the
+    k_dense highest-count tiles keep the full pair budget, the rest run a
+    smaller one — the kernels' slot DMA / gather / backward-buffer volume
+    drops to Kp*mpt_d + Sp*mpt_s rows without changing any dense tile's
+    render (see bin_two_class exactness note)."""
+    tab_d: jnp.ndarray      # (Kp, mpt_d) int32
+    counts_d: jnp.ndarray   # (Kp,)
+    tids_d: jnp.ndarray     # (Kp,) global tile ids
+    tab_s: jnp.ndarray      # (Sp, mpt_s)
+    counts_s: jnp.ndarray   # (Sp,)
+    tids_s: jnp.ndarray     # (Sp,)
+    merge: jnp.ndarray      # (n_tiles,) row into [accum_d; accum_s]
+    inv: SlotInv            # inverse over the flat two-block layout
+    quat: jnp.ndarray       # (4,)
     trans: jnp.ndarray      # (3,)
 
 
@@ -126,13 +144,61 @@ def build_kf_cache(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
+                              "mpt_sparse", "k_dense", "select"))
+def build_kf_cache_2c(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    cam: Camera,
+    *,
+    tile: int = 16,
+    span_cap: int = 2,
+    max_pairs_per_tile: int = 512,
+    mpt_sparse: int = 128,
+    k_dense: int = 64,
+    select: str = "depth",
+) -> KFBinCache2C:
+    """build_kf_cache with two-class binning (binning.bin_two_class).
+
+    k_dense is rounded up to the kernel BLOCK internally; tile-sharded
+    meshes are not supported on this path (the engine keeps single-class
+    binning when a mesh is configured)."""
+    from ..ops import geometry as geo
+    from ..ops.rasterizer.pallas_splat import BLOCK
+
+    tiles_x = -(-cam.width // tile)
+    tiles_y = -(-cam.height // tile)
+    mpt = -(-max_pairs_per_tile // 128) * 128
+    mpt_s = -(-mpt_sparse // 128) * 128
+
+    q = geo.normalize(cam_quat)
+    R = geo.quat_to_rotmat(q)
+    means_cam = params.means3d @ R.T + cam_trans
+    quats = (params.unnorm_rotations if params.isotropic else
+             geo.quat_mult(q[None, :],
+                           geo.normalize(params.unnorm_rotations)))
+    proj = project_gaussians(means_cam, quats,
+                             jnp.exp(params.log_scales), params.opacities(),
+                             cam, active)
+    b = bin_two_class(proj, tile, span_cap, tiles_x, tiles_y, mpt, mpt_s,
+                      k_dense, BLOCK, with_inverse=True, select=select)
+    return KFBinCache2C(tab_d=b.tab_d, counts_d=b.counts_d, tids_d=b.tids_d,
+                        tab_s=b.tab_s, counts_s=b.counts_s, tids_s=b.tids_s,
+                        merge=b.merge, inv=slot_inverse(b.inv_pos),
+                        quat=cam_quat, trans=cam_trans)
+
+
+@functools.partial(
     jax.jit, static_argnames=("cam", "span_cap", "mpt", "tile_pad",
-                              "select", "chunk"))
+                              "select", "chunk", "k_dense", "sparse_div"))
 def trunc_probe(params: GaussianParams, active: jnp.ndarray,
                 quat: jnp.ndarray, trans: jnp.ndarray, cam: Camera,
                 span_cap: int = 2, mpt: int = 512, tile_pad: int = 0,
                 select: str = "importance",
-                chunk: int = 128) -> jnp.ndarray:
+                chunk: int = 128, k_dense: int = 0,
+                sparse_div: int = 4) -> jnp.ndarray:
     """MEASURED truncation harm at one pose: the fraction of rgb pixels
     differing by > 1/255 between renders at the engine's pair budget and
     at 4x that budget — the same oracle bench.measure_truncation reports.
@@ -147,22 +213,41 @@ def trunc_probe(params: GaussianParams, active: jnp.ndarray,
     buckets and paid a recompile per flip. The probe costs one extra
     binning + two renders (~0.2 s), dispatched asynchronously every
     tpu.trunc_probe_every frames (default 10, plus the first frames after
-    any budget change), so its amortized cost is ~20 ms/frame."""
+    any budget change), so its amortized cost is ~20 ms/frame.
+
+    When k_dense > 0 the harm side renders the REAL two-class operating
+    point (dense top-k_dense tiles at mpt, rest at mpt//sparse_div); the
+    oracle side stays single-class 4x."""
     from ..ops.rasterizer.pallas_splat import assemble_image
 
     f8 = pack_fields8(params)
-    ims = []
-    for m in (mpt, 4 * mpt):
+    interp = jax.default_backend() == "cpu"
+    if k_dense > 0:
+        k2 = build_kf_cache_2c(params, active, quat, trans, cam,
+                               span_cap=span_cap, max_pairs_per_tile=mpt,
+                               mpt_sparse=max(128, mpt // sparse_div),
+                               k_dense=k_dense, select=select)
+        im0 = _accum_to_result(splat_binned_2c(
+            f8, (k2.tab_d, k2.counts_d, k2.tids_d),
+            (k2.tab_s, k2.counts_s, k2.tids_s), k2.merge, k2.inv,
+            k2.quat, k2.trans, cam, max(chunk, 128), 128, interp),
+            cam).im
+    else:
         kfc = build_kf_cache(params, active, quat, trans, cam,
-                             span_cap=span_cap, max_pairs_per_tile=m,
+                             span_cap=span_cap, max_pairs_per_tile=mpt,
                              tile_pad=tile_pad, select=select)
         # kernel chunk contract: the walk chunk must be a multiple of the
         # 128-lane cumsum block (pallas_splat._cumsum_lanes)
         accum = splat_binned(f8, kfc.tab, kfc.inv, kfc.quat, kfc.trans,
-                             kfc.counts, cam, max(chunk, 128),
-                             jax.default_backend() == "cpu")
-        ims.append(assemble_image(accum, cam)[:3])
-    diff = jnp.max(jnp.abs(ims[0] - ims[1]), axis=0)
+                             kfc.counts, cam, max(chunk, 128), interp)
+        im0 = assemble_image(accum, cam)[:3]
+    kfc4 = build_kf_cache(params, active, quat, trans, cam,
+                          span_cap=span_cap, max_pairs_per_tile=4 * mpt,
+                          tile_pad=tile_pad, select=select)
+    accum4 = splat_binned(f8, kfc4.tab, kfc4.inv, kfc4.quat, kfc4.trans,
+                          kfc4.counts, cam, max(chunk, 128), interp)
+    im4 = assemble_image(accum4, cam)[:3]
+    diff = jnp.max(jnp.abs(im0 - im4), axis=0)
     return jnp.mean((diff > 1.0 / 255.0).astype(jnp.float32))
 
 
@@ -283,6 +368,101 @@ def _splat_binned_bwd(cam, chunk, interpret, res, g):
 splat_binned.defvjp(_splat_binned_fwd, _splat_binned_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def splat_binned_2c(fields8, kd, ks, merge, inv, quat, trans,
+                    cam: Camera, chunk_d: int, chunk_s: int,
+                    interpret: bool):
+    """splat_binned over a two-class binning (KFBinCache2C): two disjoint
+    kernel invocations — dense tiles at the full budget, sparse tiles at
+    the small one — merged to (n_tiles, NCH, TPX) by one row gather.
+
+    kd/ks: (tab, counts, tids) triples per class. The per-class `tids`
+    rows feed the kernels' tile-id operand AND the backward's cotangent
+    split (g[tids]) from the SAME residual tuple, so forward and backward
+    cannot disagree (the contract flagged at pallas_splat.splat_blend).
+    Gradient layout: the flat cotangent buffer is [dense block rows;
+    sparse block rows] and `inv` indexes exactly that
+    (binning.bin_two_class with_inverse). Like splat_binned, only the LAST
+    Ng rows of fields8 (those `inv` covers) receive gradients; pose
+    cotangents are zero."""
+    return _splat_2c_fwd(fields8, kd, ks, merge, inv, quat, trans,
+                         cam, chunk_d, chunk_s, interpret)[0]
+
+
+def _splat_2c_fwd(fields8, kd, ks, merge, inv, quat, trans,
+                  cam, chunk_d, chunk_s, interpret):
+    from ..ops import geometry as geo
+
+    tiles_x = -(-cam.width // 16)
+    q = geo.normalize(quat)
+    R9 = geo.quat_to_rotmat(q).reshape(9)
+    zoff = jnp.zeros((), jnp.int32)
+    tab_d, counts_d, tids_d = kd
+    tab_s, counts_s, tids_s = ks
+    slots_d = gather_channels(fields8, tab_d)            # (Kp, 8, mpt_d)
+    slots_s = gather_channels(fields8, tab_s)            # (Sp, 8, mpt_s)
+    accum_d = _fwd_call(slots_d, R9, trans, counts_d, zoff, cam, tiles_x,
+                        chunk_d, interpret, tids=tids_d)
+    accum_s = _fwd_call(slots_s, R9, trans, counts_s, zoff, cam, tiles_x,
+                        chunk_s, interpret, tids=tids_s)
+    accum = jnp.concatenate([accum_d, accum_s], axis=0)[merge]
+    res = (slots_d, slots_s, R9, trans, counts_d, tids_d, counts_s, tids_s,
+           accum_d, accum_s, inv, merge.shape[0], fields8.shape[0])
+    return accum, res
+
+
+def _splat_2c_bwd(cam, chunk_d, chunk_s, interpret, res, g):
+    import numpy as np
+    (slots_d, slots_s, R9, trans, counts_d, tids_d, counts_s, tids_s,
+     accum_d, accum_s, inv, n_tiles, M) = res
+    tiles_x = -(-cam.width // 16)
+    zoff = jnp.zeros((), jnp.int32)
+    Kp, _, mpt_d = slots_d.shape
+    Sp, _, mpt_s = slots_s.shape
+    # transpose of the merge gather: the map is injective over real rows,
+    # and padded rows (count 0) write nothing in the kernels
+    g_d = g[tids_d]
+    g_s = g[tids_s]
+    rows_d = _bwd_call(slots_d, R9, trans, counts_d, zoff, accum_d, g_d,
+                       cam, tiles_x, chunk_d, interpret, "vals_rows",
+                       tids=tids_d)                      # (Kp, mpt_d, 8)
+    rows_s = _bwd_call(slots_s, R9, trans, counts_s, zoff, accum_s, g_s,
+                       cam, tiles_x, chunk_s, interpret, "vals_rows",
+                       tids=tids_s)
+    flat = jnp.concatenate(
+        [rows_d.reshape(Kp * mpt_d, 8), rows_s.reshape(Sp * mpt_s, 8)])
+    g_tail = apply_slot_inverse(flat, inv)               # (Ng, 8)
+    Ng = inv.pos.shape[0]
+    if Ng < M:
+        g_tail = jnp.concatenate(
+            [jnp.zeros((M - Ng, 8), flat.dtype), g_tail], axis=0)
+    f0 = jax.dtypes.float0
+    zt = lambda *shapes: tuple(np.zeros(s, f0) for s in shapes)
+    return (g_tail,
+            zt((Kp, mpt_d), (Kp,), (Kp,)),               # kd
+            zt((Sp, mpt_s), (Sp,), (Sp,)),               # ks
+            np.zeros((n_tiles,), f0),                    # merge
+            jax.tree_util.tree_map(
+                lambda a: np.zeros(jnp.shape(a), f0), inv),
+            jnp.zeros((4,), flat.dtype), jnp.zeros((3,), flat.dtype))
+
+
+splat_binned_2c.defvjp(_splat_2c_fwd, _splat_2c_bwd)
+
+
+def render_binned_2c(fields8: jnp.ndarray, kfc: KFBinCache2C, cam: Camera,
+                     chunk_d: int = 128, chunk_s: int = 128) -> RenderResult:
+    """render_binned over a two-class cache (KFBinCache2C)."""
+    accum = splat_binned_2c(
+        fields8,
+        (kfc.tab_d, kfc.counts_d, kfc.tids_d),
+        (kfc.tab_s, kfc.counts_s, kfc.tids_s),
+        kfc.merge, kfc.inv, kfc.quat, kfc.trans,
+        cam, max(chunk_d, 128), max(chunk_s, 128),
+        jax.default_backend() == "cpu")
+    return _accum_to_result(accum, cam)
+
+
 def render_binned(fields8: jnp.ndarray, kfc: KFBinCache, cam: Camera,
                   chunk: int = 128) -> RenderResult:
     """Render the trainable section through one keyframe's frozen binning.
@@ -345,11 +525,19 @@ class MapCacheStore:
 
     def __init__(self, max_slots: int = 64, refresh: int = 1,
                  tile_pad: int = 0, stale_age: int = 12,
-                 select: str = "depth"):
+                 select: str = "depth", k_dense: int = 0,
+                 sparse_div: int = 4):
         self.max_slots = max_slots
         self.refresh = refresh
         self.tile_pad = tile_pad
         self.select = select
+        # two-class binning (bin_two_class): k_dense > 0 builds KFBinCache2C
+        # slots — the k_dense highest-count tiles keep the full mpt budget,
+        # the rest run max(128, mpt // sparse_div), which tracks pair-budget
+        # boosts automatically. 0 = single-class (required when a
+        # tile-sharded mesh supplies tile_pad).
+        self.k_dense = k_dense
+        self.sparse_div = sparse_div
         # binning also depends on exp(log_scales), which train every
         # iteration — a slot untouched by densification still goes stale as
         # splats grow past their build-time radii, so slots older than
@@ -372,15 +560,28 @@ class MapCacheStore:
 
     def _build(self, params, active, ring_idx, cam, span_cap, mpt):
         quat, trans = self.poses[ring_idx]
-        built = build_kf_cache(params, active, jnp.asarray(quat),
-                               jnp.asarray(trans), cam, span_cap=span_cap,
-                               max_pairs_per_tile=mpt,
-                               tile_pad=self.tile_pad, select=self.select)
+        if self.k_dense > 0:
+            built = build_kf_cache_2c(
+                params, active, jnp.asarray(quat), jnp.asarray(trans), cam,
+                span_cap=span_cap, max_pairs_per_tile=mpt,
+                mpt_sparse=max(128, mpt // self.sparse_div),
+                k_dense=self.k_dense, select=self.select)
+        else:
+            built = build_kf_cache(params, active, jnp.asarray(quat),
+                                   jnp.asarray(trans), cam,
+                                   span_cap=span_cap,
+                                   max_pairs_per_tile=mpt,
+                                   tile_pad=self.tile_pad,
+                                   select=self.select)
         import os
         if os.environ.get("VTGS_DUMP_COUNTS"):
             import numpy as np
             n_tiles = (-(-cam.height // 16)) * (-(-cam.width // 16))
-            c = np.asarray(built.counts)[:n_tiles]
+            if self.k_dense > 0:
+                c = np.concatenate([np.asarray(built.counts_d),
+                                    np.asarray(built.counts_s)])
+            else:
+                c = np.asarray(built.counts)[:n_tiles]
             print(f"[counts:map] mpt={mpt} max={c.max()} "
                   f"p99={np.percentile(c, 99):.0f} "
                   f"p90={np.percentile(c, 90):.0f} "
@@ -399,7 +600,8 @@ class MapCacheStore:
         refresh stale slots. Returns (stack, slot_ids, count)."""
         self.poses[ring_idx] = (quat, trans)
         self.tick += 1
-        key = (params.means3d.shape[0], mpt, cam.height, cam.width, W)
+        key = (params.means3d.shape[0], mpt, cam.height, cam.width, W,
+               self.k_dense, self.sparse_div)
         if self.key != key:
             # shape re-bucket: drop the stack, keep poses; every registered
             # keyframe is re-admitted below (rare burst)

@@ -269,20 +269,33 @@ def map_frame_binned(
     uniform draw over selected keyframes
     (/root/reference/src/vtgaussian_slam.py:2560-2571); otherwise it is
     uniform over the pinned base frame + the most recent window."""
-    from .map_cache import render_binned, render_binned_global
+    from .map_cache import (KFBinCache2C, render_binned, render_binned_2c,
+                            render_binned_global)
 
     from ..ops.rasterizer.pallas_splat import pick_walk_chunk
     # ONE chunk must divide BOTH the per-keyframe and the global binning's
     # slot dims (their pair budgets differ; see pick_walk_chunk). The
     # use_global=False dummy cache (mpt 128) must NOT drag the chunk down.
-    chunk = pick_walk_chunk(kfc.tab.shape[-1],
-                            *([gc.tab.shape[-1]] if cfg.use_global else []))
+    g_mpts = [gc.tab.shape[-1]] if cfg.use_global else []
+    if isinstance(kfc, KFBinCache2C):
+        # two-class cache: each class renders as its own kernel call with
+        # its own walk chunk (the chunk contract is per pallas_call)
+        chunk_d = pick_walk_chunk(kfc.tab_d.shape[-1], *g_mpts)
+        chunk_s = pick_walk_chunk(kfc.tab_s.shape[-1])
 
-    def render_local(v8, k):
-        return render_binned(v8, k, cam, chunk)
+        def render_local(v8, k):
+            return render_binned_2c(v8, k, cam, chunk_d, chunk_s)
 
-    def render_global(v8):
-        return render_binned_global(v8, gc, cam, chunk)
+        def render_global(v8):
+            return render_binned_global(v8, gc, cam, chunk_d)
+    else:
+        chunk = pick_walk_chunk(kfc.tab.shape[-1], *g_mpts)
+
+        def render_local(v8, k):
+            return render_binned(v8, k, cam, chunk)
+
+        def render_global(v8):
+            return render_binned_global(v8, gc, cam, chunk)
 
     return map_binned_loop(render_local, render_global, params, kf, kfc,
                            slot_ids, rng, cam, cfg)

@@ -384,12 +384,36 @@ class VTGaussianSLAM:
         self._bin_select = ("importance" if cfg["tpu"].get(
             "importance_binning", True) else "depth")
 
+        # two-class mapping binning (map_cache.KFBinCache2C): the
+        # two_class_frac highest-count tiles keep the full pair budget, the
+        # rest run mpt / two_class_sparse_div — slot gather/DMA/backward
+        # volume drops ~proportionally (ROADMAP round-3 lever 1). 0 = off.
+        # Incompatible with tile-sharded meshes (tile_pad): the sharded
+        # twin bins single-class; semantics are identical either way when
+        # the dense set covers every over-budget tile (bin_two_class).
+        tcf = os.environ.get("VTGS_TWO_CLASS_FRAC")
+        self._two_class_frac = (
+            float(tcf) if tcf is not None
+            else float(cfg["tpu"].get("two_class_frac", 0.0)))
+        self._two_class_div = int(cfg["tpu"].get("two_class_sparse_div", 4))
+        if self.mesh is not None:
+            self._two_class_frac = 0.0
+        n_tiles_img = (-(-self.cam.height // 16)) * (-(-self.cam.width // 16))
+        from ..ops.rasterizer.pallas_splat import BLOCK as _SPLAT_BLOCK
+        self._k_dense = 0
+        if self._two_class_frac > 0.0:
+            k = int(round(self._two_class_frac * n_tiles_img))
+            self._k_dense = min(
+                max(-(-k // _SPLAT_BLOCK) * _SPLAT_BLOCK, _SPLAT_BLOCK),
+                (n_tiles_img - 1) // _SPLAT_BLOCK * _SPLAT_BLOCK)
+
         # frozen-binning mapping caches for the current section
         from .map_cache import MapCacheStore
         self.map_store = MapCacheStore(
             max_slots=int(cfg["tpu"].get("map_cache_slots", 64)),
             refresh=int(cfg["tpu"].get("map_cache_refresh", 1)),
-            tile_pad=self.tile_pad, select=self._bin_select)
+            tile_pad=self.tile_pad, select=self._bin_select,
+            k_dense=self._k_dense, sparse_div=self._two_class_div)
 
         # scannetpp odometry-assisted initialization (:1364-1510)
         self.odometer = None
@@ -751,7 +775,9 @@ class VTGaussianSLAM:
                         state.best_trans, self.cam,
                         span_cap=bk.get("span_cap", 3), mpt=mpt,
                         tile_pad=self.tile_pad, select=self._bin_select,
-                        chunk=bk.get("chunk", 128))
+                        chunk=bk.get("chunk", 128),
+                        k_dense=self._k_dense,
+                        sparse_div=self._two_class_div)
                     self._pending_harm_mpt = mpt
             self._frames_tracked += 1
         else:
@@ -1246,7 +1272,8 @@ class VTGaussianSLAM:
             stack, slot_ids, count = self.map_store.update(
                 sec.params, active, int(sec.n_active), idx_in, cq, ct,
                 self.cam, span_cap, mpt, W)
-            jax.block_until_ready(stack.counts)
+            jax.block_until_ready(
+                stack.counts_d if self._k_dense > 0 else stack.counts)
             self.stats["t_map_store"] += time.time() - t0
             ids = jnp.asarray(start + np.arange(self.bfe), jnp.int32)
             kf = KeyframeBuffer(

@@ -37,6 +37,20 @@ class BinnedPairs(NamedTuple):
     #                              position (tile*mpt + j) or -1
 
 
+class BinnedPairs2C(NamedTuple):
+    """Two-class binning: a small DENSE tile class keeps the full pair
+    budget while the rest run a smaller one (see bin_two_class)."""
+    tab_d: jnp.ndarray      # (Kp, mpt_d) int32 gaussian index per slot
+    counts_d: jnp.ndarray   # (Kp,)
+    tids_d: jnp.ndarray     # (Kp,) int32 global tile id per dense row
+    tab_s: jnp.ndarray      # (Sp, mpt_s)
+    counts_s: jnp.ndarray   # (Sp,)
+    tids_s: jnp.ndarray     # (Sp,)
+    merge: jnp.ndarray      # (n_tiles,) int32 row into [accum_d; accum_s]
+    inv_pos: jnp.ndarray | None  # (N, s2) positions in the flat layout
+    #   [dense block: r*mpt_d + j (r < Kp) | sparse: Kp*mpt_d + r*mpt_s + j]
+
+
 def tile_rects(proj: ProjectedGaussians, tile: int, span_cap: int,
                tiles_x: int, tiles_y: int):
     """Tile rectangle per Gaussian (CUDA getRect semantics, with span cap).
@@ -64,38 +78,16 @@ def tile_rects(proj: ProjectedGaussians, tile: int, span_cap: int,
     return rx0, ry0, span_x, span_y, valid
 
 
-def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
-                  tiles_x: int, tiles_y: int, mpt: int,
-                  with_inverse: bool = False,
-                  select: str = "depth") -> BinnedPairs:
-    """Bin projected Gaussians into per-tile depth-sorted gather tables.
+def _pair_sort(proj: ProjectedGaussians, tile: int, span_cap: int,
+               tiles_x: int, tiles_y: int, select: str) -> dict:
+    """Shared binning stage: emit every (tile, gaussian) pair slot, rank it
+    with ONE stable fused-key sort, and locate per-tile windows.
 
-    The (tile, depth) order is established by ONE stable single-key sort of
-    a fused int32 key `tile << depth_bits | quantized_depth` plus the pair
-    id. XLA's TPU sort compiles a per-operand-per-key merge network whose
-    build time at SLAM sizes is brutal (a 3-operand 2-key sort at the
-    Replica room0 working set costs ~45-60 s of COMPILE; it dominated
-    section-boundary stalls) — fusing the key halves the operand count and
-    drops the second key comparison. Depth is LOG-quantized to the bits
-    left under the tile id (>= 18 at ScanNet++ tile counts; ~6e-5 relative
-    steps): far finer than alpha-blend order sensitivity, and ties keep
-    pair-id order (stable sort), so the order is deterministic.
-
-    select="importance" changes WHICH pairs survive a saturated tile's
-    budget (never their blend order): the big fused-key sort ranks a tile's
-    pairs by max-alpha-over-the-tile (opacity x conic falloff at the
-    nearest tile pixel) instead of depth, the top-mpt window is kept, and a
-    second SMALL (n_tiles, mpt) two-key sort restores exact (depth, pair-id)
-    blend order. Depth-prefix truncation (select="depth") drops the ENTIRE
-    depth tail of a saturated tile, surface splats included — measured
-    0.9-3.9% of rendered pixels wrong vs an untruncated render at the bench
-    working set; importance selection instead drops the lowest-contribution
-    pairs wherever they sit, measuring EXACT to 1e-3 at the same budget
-    (prof_imp.py, PSNR-vs-full 84 dB vs 50 dB). For unsaturated tiles both
-    selects produce bit-identical tables (the re-sort reproduces the stable
-    (tile, depth, pair-id) order). The CUDA reference composites ALL pairs
-    (SURVEY.md 2.9) — importance selection is strictly closer to that
-    semantics at any fixed budget."""
+    The fused int32 key is `tile << depth_bits | rank` where rank is the
+    LOG-quantized depth (select="depth") or the quantized
+    -log(max-alpha-over-the-tile) importance (select="importance") — see
+    bin_gaussians for why. Returns the sorted keys/ids, per-tile window
+    edges, and the quantized depth (for the importance re-sort)."""
     N = proj.mean2d.shape[0]
     n_tiles = tiles_x * tiles_y
     s2 = span_cap * span_cap
@@ -165,7 +157,49 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
 
     tid = jnp.arange(n_tiles + 1, dtype=jnp.int32) << depth_bits
     edges = jnp.searchsorted(s_key, tid, side="left").astype(jnp.int32)
-    start, end = edges[:-1], edges[1:]
+    return dict(N=N, s2=s2, p_max=p_max, depth_bits=depth_bits,
+                sentinel=sentinel, qd=qd, s_key=s_key, s_id=s_id,
+                start=edges[:-1], end=edges[1:])
+
+
+def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
+                  tiles_x: int, tiles_y: int, mpt: int,
+                  with_inverse: bool = False,
+                  select: str = "depth") -> BinnedPairs:
+    """Bin projected Gaussians into per-tile depth-sorted gather tables.
+
+    The (tile, depth) order is established by ONE stable single-key sort of
+    a fused int32 key `tile << depth_bits | quantized_depth` plus the pair
+    id. XLA's TPU sort compiles a per-operand-per-key merge network whose
+    build time at SLAM sizes is brutal (a 3-operand 2-key sort at the
+    Replica room0 working set costs ~45-60 s of COMPILE; it dominated
+    section-boundary stalls) — fusing the key halves the operand count and
+    drops the second key comparison. Depth is LOG-quantized to the bits
+    left under the tile id (>= 18 at ScanNet++ tile counts; ~6e-5 relative
+    steps): far finer than alpha-blend order sensitivity, and ties keep
+    pair-id order (stable sort), so the order is deterministic.
+
+    select="importance" changes WHICH pairs survive a saturated tile's
+    budget (never their blend order): the big fused-key sort ranks a tile's
+    pairs by max-alpha-over-the-tile (opacity x conic falloff at the
+    nearest tile pixel) instead of depth, the top-mpt window is kept, and a
+    second SMALL (n_tiles, mpt) two-key sort restores exact (depth, pair-id)
+    blend order. Depth-prefix truncation (select="depth") drops the ENTIRE
+    depth tail of a saturated tile, surface splats included — measured
+    0.9-3.9% of rendered pixels wrong vs an untruncated render at the bench
+    working set; importance selection instead drops the lowest-contribution
+    pairs wherever they sit, measuring EXACT to 1e-3 at the same budget
+    (prof_imp.py, PSNR-vs-full 84 dB vs 50 dB). For unsaturated tiles both
+    selects produce bit-identical tables (the re-sort reproduces the stable
+    (tile, depth, pair-id) order). The CUDA reference composites ALL pairs
+    (SURVEY.md 2.9) — importance selection is strictly closer to that
+    semantics at any fixed budget."""
+    ps = _pair_sort(proj, tile, span_cap, tiles_x, tiles_y, select)
+    N, p_max, s2 = ps["N"], ps["p_max"], ps["s2"]
+    n_tiles = tiles_x * tiles_y
+    s_key, s_id, start, end, qd = (ps["s_key"], ps["s_id"], ps["start"],
+                                   ps["end"], ps["qd"])
+    depth_bits, sentinel = ps["depth_bits"], ps["sentinel"]
     counts = jnp.minimum(end - start, mpt)
     j = jnp.arange(mpt, dtype=jnp.int32)
     window = jnp.minimum(start[:, None] + j[None, :], p_max - 1)
@@ -212,6 +246,114 @@ def bin_gaussians(proj: ProjectedGaussians, tile: int, span_cap: int,
         inv_pos = pos_by_pair.reshape(s2, N).T                 # (N, s2)
 
     return BinnedPairs(tab=tab, counts=counts, inv_pos=inv_pos)
+
+
+def bin_two_class(proj: ProjectedGaussians, tile: int, span_cap: int,
+                  tiles_x: int, tiles_y: int, mpt_d: int, mpt_s: int,
+                  k_dense: int, block: int,
+                  with_inverse: bool = False, select: str = "depth",
+                  priority: jnp.ndarray | None = None) -> BinnedPairs2C:
+    """Two-class tile binning: the k_dense highest-priority tiles keep the
+    full mpt_d pair budget; every other tile runs the smaller mpt_s.
+
+    Why: per-tile pair counts are heavy-tailed, but single-class binning
+    sizes EVERY tile's gather/DMA/backward-buffer volume by the worst tile.
+    The splat kernels already accept arbitrary per-row tile ids (the `tids`
+    operand, pallas_splat._fwd_call), so the two classes render as two
+    kernel invocations over disjoint tile sets and merge by one row gather.
+    Total slot volume drops from n_tiles*mpt_d to
+    k_dense*mpt_d + (n_tiles-k_dense)*mpt_s.
+
+    EXACTNESS: both classes window the SAME fused-key sort, so a dense tile
+    produces bit-identical rows to single-class bin_gaussians(mpt_d) and a
+    sparse tile to bin_gaussians(mpt_s). If k_dense covers every tile with
+    count > mpt_s (priority=None ranks by pair count, so this holds whenever
+    #{count > mpt_s} <= k_dense), the split is BIT-EXACT vs single-class at
+    mpt_d. Under-covered sparse tiles truncate at mpt_s with the same
+    select semantics (importance keeps top-alpha pairs); the measured-harm
+    probe (core/map_cache.trunc_probe) guards that regime.
+
+    priority: optional (n_tiles,) score for choosing the dense set (e.g.
+    leftover-transmittance harm telemetry); defaults to raw pair counts.
+    Ties and the ranking are deterministic (stable argsort).
+    Returns tables padded to `block` rows (padded rows: count 0, tid 0).
+    """
+    n_tiles = tiles_x * tiles_y
+    K = int(k_dense)
+    if not 0 < K < n_tiles:
+        raise ValueError(f"k_dense {K} not in (0, {n_tiles})")
+    ps = _pair_sort(proj, tile, span_cap, tiles_x, tiles_y, select)
+    N, p_max = ps["N"], ps["p_max"]
+    s_key, s_id, start, end, qd = (ps["s_key"], ps["s_id"], ps["start"],
+                                   ps["end"], ps["qd"])
+    counts_full = end - start                                   # (n_tiles,)
+    prio = counts_full if priority is None else priority
+    order = jnp.argsort(-prio)                  # stable: ties by tile id
+    dense_t, sparse_t = order[:K], order[K:]                    # S = nt - K
+    S = n_tiles - K
+    Kp = -(-K // block) * block
+    Sp = -(-S // block) * block
+    rank = jnp.zeros((n_tiles,), jnp.int32).at[order].set(
+        jnp.arange(n_tiles, dtype=jnp.int32))
+
+    def one_class(tids, mpt_c, pad_rows, flat_base):
+        c = jnp.minimum(counts_full[tids], mpt_c)
+        j = jnp.arange(mpt_c, dtype=jnp.int32)
+        window = jnp.minimum(start[tids][:, None] + j[None, :], p_max - 1)
+        scat = None
+        if select == "importance":
+            pid_w = s_id[window]
+            in_count = j[None, :] < c[:, None]
+            qd_w = jnp.where(in_count, qd[pid_w % N], jnp.int32(2 ** 30))
+            _, pid_s = jax.lax.sort((qd_w, pid_w), dimension=1, num_keys=2)
+            tab = pid_s % N
+            if with_inverse:
+                rows = tids.shape[0]
+                flatpos = flat_base + jnp.arange(
+                    rows * mpt_c, dtype=jnp.int32).reshape(rows, mpt_c)
+                # dummy ids p_max+flat keep scatter indices unique across
+                # BOTH classes (flat positions are globally disjoint)
+                pid_scat = jnp.where(in_count, pid_s, p_max + flatpos)
+                scat = (pid_scat.reshape(-1), flatpos.reshape(-1))
+        else:
+            tab = (s_id % N)[window]
+        tab = jnp.pad(tab, ((0, pad_rows), (0, 0)))
+        return (tab, jnp.pad(c, (0, pad_rows)),
+                jnp.pad(tids, (0, pad_rows)), scat)
+
+    tab_d, counts_d, tids_d, scat_d = one_class(dense_t, mpt_d, Kp - K, 0)
+    tab_s, counts_s, tids_s, scat_s = one_class(sparse_t, mpt_s, Sp - S,
+                                                Kp * mpt_d)
+
+    merge = (jnp.zeros((n_tiles,), jnp.int32)
+             .at[dense_t].set(jnp.arange(K, dtype=jnp.int32))
+             .at[sparse_t].set(Kp + jnp.arange(S, dtype=jnp.int32)))
+
+    inv_pos = None
+    if with_inverse:
+        if select == "importance":
+            buf = jnp.full((p_max,), -1, jnp.int32)
+            for ids, fp in (scat_d, scat_s):
+                buf = buf.at[ids].set(fp, mode="drop", unique_indices=True)
+            inv_pos = buf.reshape(ps["s2"], N).T
+        else:
+            idx = jnp.arange(p_max, dtype=jnp.int32)
+            in_image = s_key < ps["sentinel"]
+            tile_safe = jnp.minimum(s_key >> ps["depth_bits"], n_tiles - 1)
+            off = idx - start[tile_safe]
+            r = rank[tile_safe]
+            is_d = r < K
+            pos = jnp.where(
+                in_image & is_d & (off < mpt_d), r * mpt_d + off,
+                jnp.where(in_image & ~is_d & (off < mpt_s),
+                          Kp * mpt_d + (r - K) * mpt_s + off, -1))
+            buf = jnp.full((p_max,), -1, jnp.int32).at[s_id].set(
+                pos, unique_indices=True)
+            inv_pos = buf.reshape(ps["s2"], N).T
+
+    return BinnedPairs2C(tab_d=tab_d, counts_d=counts_d, tids_d=tids_d,
+                         tab_s=tab_s, counts_s=counts_s, tids_s=tids_s,
+                         merge=merge, inv_pos=inv_pos)
 
 
 def table_gather(vals: jnp.ndarray, tab: jnp.ndarray,

@@ -719,19 +719,33 @@ class VTGaussianSLAM:
                         [rebin] * (total // rebin)
                         + ([total % rebin] if total % rebin else []))
             im_hs, d_hs = [], []
+            two_class = self._k_dense > 0
+            mpt_s = max(128, mpt // self._two_class_div)
             for seg in seg_lens:
                 t_tc = time.time()
-                cache = build_track_cache(
-                    sec.params, sec.active_mask(), state.quat, state.trans,
-                    self.cam, span_cap=bk.get("span_cap", 3),
-                    max_pairs_per_tile=mpt,
-                    chunk=bk.get("chunk", 128), tile_pad=self.tile_pad,
-                    select=self._bin_select)
+                if two_class:
+                    from .track_cache import build_track_cache_2c
+                    cache = build_track_cache_2c(
+                        sec.params, sec.active_mask(), state.quat,
+                        state.trans, self.cam,
+                        span_cap=bk.get("span_cap", 3),
+                        max_pairs_per_tile=mpt, mpt_sparse=mpt_s,
+                        k_dense=self._k_dense, select=self._bin_select)
+                    counts_sync = cache.counts_d
+                else:
+                    cache = build_track_cache(
+                        sec.params, sec.active_mask(), state.quat,
+                        state.trans, self.cam,
+                        span_cap=bk.get("span_cap", 3),
+                        max_pairs_per_tile=mpt,
+                        chunk=bk.get("chunk", 128), tile_pad=self.tile_pad,
+                        select=self._bin_select)
+                    counts_sync = cache.counts
                 # NO host sync here: the build pipelines with the track jit
                 # dispatch below (each blocking fetch costs one tunnel RTT,
                 # ~30 ms); the counts land on host asynchronously and the
                 # telemetry/boost decisions read them AFTER the jit.
-                cache.counts.copy_to_host_async()
+                counts_sync.copy_to_host_async()
                 self.stats["t_track_cache"] += time.time() - t_tc
                 t_jit = time.time()
                 state, im_h, d_h = self._track_cached_fn(
@@ -742,12 +756,24 @@ class VTGaussianSLAM:
                 self.stats["tracking_jit_iters"] += seg
                 n_tiles = (-(-self.cam.height // 16)) * \
                     (-(-self.cam.width // 16))
-                trunc = float(
-                    (np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
+                if two_class:
+                    # saturation at each tile's OWN class budget (padded
+                    # rows carry count 0, never saturated)
+                    trunc = float(
+                        ((np.asarray(cache.counts_d) >= mpt).sum()
+                         + (np.asarray(cache.counts_s) >= mpt_s).sum())
+                        / n_tiles)
+                else:
+                    trunc = float(
+                        (np.asarray(cache.counts)[:n_tiles] >= mpt).mean())
                 self.stats["tile_truncation_frac_max"] = max(
                     self.stats["tile_truncation_frac_max"], trunc)
                 if os.environ.get("VTGS_DUMP_COUNTS"):
-                    c = np.asarray(cache.counts)[:n_tiles]
+                    if two_class:
+                        c = np.concatenate([np.asarray(cache.counts_d),
+                                            np.asarray(cache.counts_s)])
+                    else:
+                        c = np.asarray(cache.counts)[:n_tiles]
                     print(f"[counts:track] mpt={mpt} max={c.max()} "
                           f"p99={np.percentile(c, 99):.0f} "
                           f"p90={np.percentile(c, 90):.0f} "

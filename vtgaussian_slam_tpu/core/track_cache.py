@@ -51,6 +51,22 @@ class TrackCache(NamedTuple):
     radii: jnp.ndarray    # (N,) per-Gaussian radii at the cache pose
 
 
+class TrackCache2C(NamedTuple):
+    """Two-class frozen tracking binning (binning.bin_two_class): the
+    k_dense highest-count tiles keep the full pair budget, the rest run a
+    smaller one. Same exactness contract as map_cache.KFBinCache2C; the
+    pose path needs no inverse map (gradients reduce to (dR, dt)
+    in-kernel), so this is just two slot tables + the row merge."""
+    slots_d: jnp.ndarray  # (Kp, 8, mpt_d)
+    counts_d: jnp.ndarray  # (Kp,)
+    tids_d: jnp.ndarray    # (Kp,) global tile id per dense row
+    slots_s: jnp.ndarray  # (Sp, 8, mpt_s)
+    counts_s: jnp.ndarray  # (Sp,)
+    tids_s: jnp.ndarray    # (Sp,)
+    merge: jnp.ndarray     # (n_tiles,) row into [accum_d; accum_s]
+    radii: jnp.ndarray     # (N,)
+
+
 def pad_bin_tables(tab: jnp.ndarray, counts: jnp.ndarray,
                    tile_pad: int = 0):
     """Pad (T, mpt) binning tables to the splat kernel's BLOCK multiple —
@@ -175,6 +191,148 @@ def render_cached(
                         cache.counts, jnp.zeros((), jnp.int32), cam, tiles_x,
                         max(chunk, 128), jax.default_backend() == "cpu",
                         "pose")
+    img = assemble_image(accum, cam, tile)
+    return RenderResult(im=img[:3], depth=img[3:4], silhouette=img[4],
+                        depth_sq=img[5:6], radii=cache.radii)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "tile", "span_cap", "max_pairs_per_tile",
+                              "mpt_sparse", "k_dense", "select"))
+def build_track_cache_2c(
+    params: GaussianParams,
+    active: jnp.ndarray,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    cam: Camera,
+    *,
+    tile: int = 16,
+    span_cap: int = 3,
+    max_pairs_per_tile: int = 512,
+    mpt_sparse: int = 128,
+    k_dense: int = 64,
+    select: str = "depth",
+) -> TrackCache2C:
+    """build_track_cache with two-class binning (binning.bin_two_class).
+
+    Both classes window the same fused-key sort, so a dense tile's slots
+    are bit-identical to single-class binning at max_pairs_per_tile and a
+    sparse tile's to single-class at mpt_sparse. Tile-sharded meshes are
+    not supported on this path (the engine keeps single-class binning when
+    a mesh is configured)."""
+    from ..ops import geometry as geo
+    from ..ops.rasterizer.binning import bin_two_class
+    from ..ops.rasterizer.pallas_splat import BLOCK
+
+    tiles_x = -(-cam.width // tile)
+    tiles_y = -(-cam.height // tile)
+    mpt = -(-max_pairs_per_tile // 128) * 128
+    mpt_s = -(-mpt_sparse // 128) * 128
+
+    q = geo.normalize(cam_quat)
+    R = geo.quat_to_rotmat(q)
+    means_cam = params.means3d @ R.T + cam_trans
+    quats = (params.unnorm_rotations if params.isotropic else
+             geo.quat_mult(q[None, :],
+                           geo.normalize(params.unnorm_rotations)))
+    proj = project_gaussians(means_cam, quats, jnp.exp(params.log_scales),
+                             params.opacities(), cam, active)
+    b = bin_two_class(proj, tile, span_cap, tiles_x, tiles_y, mpt, mpt_s,
+                      k_dense, BLOCK, with_inverse=False, select=select)
+    f8 = fields8(params)
+    return TrackCache2C(slots_d=gather_channels(f8, b.tab_d),
+                        counts_d=b.counts_d, tids_d=b.tids_d,
+                        slots_s=gather_channels(f8, b.tab_s),
+                        counts_s=b.counts_s, tids_s=b.tids_s,
+                        merge=b.merge, radii=proj.radius)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def splat_pose_2c(slots_d, counts_d, tids_d, slots_s, counts_s, tids_s,
+                  merge, R9, trans, cam: Camera, chunk_d: int, chunk_s: int,
+                  interpret: bool):
+    """splat_blend("pose") over a two-class binning: two disjoint kernel
+    invocations — dense tiles at the full pair budget, sparse tiles at the
+    small one — merged to (n_tiles, NCH, TPX) by one row gather.
+
+    The per-class `tids` rows feed the kernels' tile-id operand AND the
+    backward's cotangent split (g[tids]) from the SAME residual tuple, so
+    forward and backward cannot disagree (the contract flagged at
+    pallas_splat.splat_blend). Gradients: (dR, dt) only, each class's
+    in-kernel 12-float reduction summed; slot cotangents are zeros like
+    splat_blend's "pose" mode."""
+    return _pose_2c_fwd(slots_d, counts_d, tids_d, slots_s, counts_s,
+                        tids_s, merge, R9, trans, cam, chunk_d, chunk_s,
+                        interpret)[0]
+
+
+def _pose_2c_fwd(slots_d, counts_d, tids_d, slots_s, counts_s, tids_s,
+                 merge, R9, trans, cam, chunk_d, chunk_s, interpret):
+    from ..ops.rasterizer.pallas_splat import _fwd_call
+
+    tiles_x = -(-cam.width // 16)
+    zoff = jnp.zeros((), jnp.int32)
+    accum_d = _fwd_call(slots_d, R9, trans, counts_d, zoff, cam, tiles_x,
+                        chunk_d, interpret, tids=tids_d)
+    accum_s = _fwd_call(slots_s, R9, trans, counts_s, zoff, cam, tiles_x,
+                        chunk_s, interpret, tids=tids_s)
+    accum = jnp.concatenate([accum_d, accum_s], axis=0)[merge]
+    res = (slots_d, counts_d, tids_d, slots_s, counts_s, tids_s, merge,
+           R9, trans, accum_d, accum_s)
+    return accum, res
+
+
+def _pose_2c_bwd(cam, chunk_d, chunk_s, interpret, res, g):
+    import numpy as np
+
+    from ..ops.rasterizer.pallas_splat import _bwd_call
+
+    (slots_d, counts_d, tids_d, slots_s, counts_s, tids_s, merge,
+     R9, trans, accum_d, accum_s) = res
+    tiles_x = -(-cam.width // 16)
+    zoff = jnp.zeros((), jnp.int32)
+    # transpose of the merge gather: injective over real rows; padded rows
+    # (count 0) contribute nothing inside the kernels
+    grad_d = _bwd_call(slots_d, R9, trans, counts_d, zoff, accum_d,
+                       g[tids_d], cam, tiles_x, chunk_d, interpret, "pose",
+                       tids=tids_d)
+    grad_s = _bwd_call(slots_s, R9, trans, counts_s, zoff, accum_s,
+                       g[tids_s], cam, tiles_x, chunk_s, interpret, "pose",
+                       tids=tids_s)
+    g_R = (jnp.sum(grad_d[:, 0, 0:9], axis=0)
+           + jnp.sum(grad_s[:, 0, 0:9], axis=0))
+    g_t = (jnp.sum(grad_d[:, 0, 9:12], axis=0)
+           + jnp.sum(grad_s[:, 0, 9:12], axis=0))
+    f0 = jax.dtypes.float0
+    return (jnp.zeros_like(slots_d), np.zeros(counts_d.shape, f0),
+            np.zeros(tids_d.shape, f0),
+            jnp.zeros_like(slots_s), np.zeros(counts_s.shape, f0),
+            np.zeros(tids_s.shape, f0),
+            np.zeros(merge.shape, f0), g_R, g_t)
+
+
+splat_pose_2c.defvjp(_pose_2c_fwd, _pose_2c_bwd)
+
+
+def render_cached_2c(
+    cache: TrackCache2C,
+    cam_quat: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    cam: Camera,
+    chunk_d: int = 128,
+    chunk_s: int = 128,
+    tile: int = 16,
+) -> RenderResult:
+    """render_cached over a two-class cache (TrackCache2C)."""
+    from ..ops import geometry as geo
+
+    q = geo.normalize(cam_quat)
+    R = geo.quat_to_rotmat(q)
+    accum = splat_pose_2c(cache.slots_d, cache.counts_d, cache.tids_d,
+                          cache.slots_s, cache.counts_s, cache.tids_s,
+                          cache.merge, R.reshape(9), cam_trans, cam,
+                          max(chunk_d, 128), max(chunk_s, 128),
+                          jax.default_backend() == "cpu")
     img = assemble_image(accum, cam, tile)
     return RenderResult(im=img[:3], depth=img[3:4], silhouette=img[4],
                         depth_sq=img[5:6], radii=cache.radii)

@@ -180,13 +180,23 @@ def track_frame_cached(
     """`track_frame` over the frozen-binning renderer (core/track_cache.py):
     per-iteration cost drops to elementwise reprojection + the Pallas blend —
     no pair sort, no record gather."""
-    from .track_cache import render_cached
+    from .track_cache import TrackCache2C, render_cached, render_cached_2c
 
     from ..ops.rasterizer.pallas_splat import pick_walk_chunk
-    chunk = pick_walk_chunk(cache.slots8.shape[2])
+    if isinstance(cache, TrackCache2C):
+        # two-class cache: each class renders as its own kernel call with
+        # its own walk chunk (the chunk contract is per pallas_call)
+        chunk_d = pick_walk_chunk(cache.slots_d.shape[2])
+        chunk_s = pick_walk_chunk(cache.slots_s.shape[2])
 
-    def render_fn(quat, trans):
-        return render_cached(cache, quat, trans, cam, chunk=chunk)
+        def render_fn(quat, trans):
+            return render_cached_2c(cache, quat, trans, cam,
+                                    chunk_d=chunk_d, chunk_s=chunk_s)
+    else:
+        chunk = pick_walk_chunk(cache.slots8.shape[2])
+
+        def render_fn(quat, trans):
+            return render_cached(cache, quat, trans, cam, chunk=chunk)
 
     return track_loop(render_fn, state, frame, aux_mask, p2p_target, cam, cfg)
 

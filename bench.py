@@ -53,8 +53,8 @@ setup_jax()
 import numpy as np
 
 BASELINE_ITERS_PER_SEC = 25.0
-NUM_FRAMES = 40
-WARM = 25          # timed window start: sections 0,1 built; global term live
+NUM_FRAMES = int(os.environ.get("VTGS_BENCH_FRAMES", "40"))
+WARM = min(25, NUM_FRAMES * 5 // 8)  # sections 0,1 built; global term live
 BFE = 12
 
 
@@ -241,6 +241,12 @@ def main():
     iters = sum(r[2] + r[3] for r in kept)
     secs = sum(r[1] - r[4] for r in kept)
     ips = iters / secs
+    # the axon tunnel injects random 5-15s stalls into host-sync'd stages
+    # (ROADMAP round-3 note; they vanish on rerun with zero code change) —
+    # report the median per-frame rate alongside the mean so readers can
+    # see how much of the gap between the two is tunnel noise
+    ips_median = float(np.median([(r[2] + r[3]) / (r[1] - r[4])
+                                  for r in kept])) if kept else 0.0
     trunc = measure_truncation(engine)
     print(f"[bench] truncation: {trunc}", file=sys.stderr)
     if skipped:
@@ -260,6 +266,7 @@ def main():
         # compile-cost telemetry (VERDICT r2 item 7): first-frame warmup,
         # total measured backend-compile seconds over the whole run, and the
         # frames excluded because XLA actually compiled during them
+        "ips_median_frame": round(ips_median, 2),
         "warmup_s": round(warmup_s, 1),
         "total_backend_compile_s": round(compile_s[0], 1),
         "compile_frames_excluded": [(r[0], round(r[1], 1)) for r in skipped],

@@ -105,3 +105,13 @@ config = dict(
     viz=dict(render_mode="color"),
     tpu=dict(span_cap=2, max_pairs_per_tile=512, blend_chunk=128),
 )
+
+# bounded runs for bench-window-limited sessions: the subsystems this config
+# gates (paging, selection-pool rungs, auto budgets, boundary cadence) all
+# engage well before frame 1000; VTGS_LONGRUN_FRAMES trades tail length for
+# fitting a session. The gate's full-scale form stays the 1000-frame default.
+import os as _os
+
+_n = int(_os.environ.get("VTGS_LONGRUN_FRAMES", "0"))
+if _n:
+    config["data"]["synthetic"]["num_frames"] = _n

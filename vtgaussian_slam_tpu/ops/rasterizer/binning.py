@@ -22,6 +22,7 @@ once per phase and amortized over all iterations.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -427,20 +428,25 @@ def weighted_inverse(flat: jnp.ndarray, pos: jnp.ndarray,
     P, C = flat.shape
     s2 = pos.shape[1]
     w = w.astype(flat.dtype)
-    if C != 8 or P % 16:
+    # pack-group width: G rows of 8 per gathered sector (G*32 bytes). 16 is
+    # the measured default at the room0 working set; VTGS_INV_PACK sweeps
+    # the gather-sector-size vs select-tensor-size tradeoff on-chip.
+    G = int(os.environ.get("VTGS_INV_PACK", "16"))
+    if C != 8 or G < 2 or (G & (G - 1)) or P % G:
         g = flat[pos[:, 0]] * w[:, 0:1]
         for k in range(1, s2):
             g = g + flat[pos[:, k]] * w[:, k:k + 1]
         return g
-    rows = flat.reshape(P // 16, 16 * C)
-    # comparison one-hot, NOT an eye(16) row gather: mixing a small-table
+    rows = flat.reshape(P // G, G * C)
+    # comparison one-hot, NOT an eye(G) row gather: mixing a small-table
     # indirection into the gather fusion serializes it ~25% slower
     # (measured 52.6 vs 42.8 ms for the mapping backward, prof_map 12c)
-    i16 = jnp.arange(16, dtype=jnp.int32)
+    iG = jnp.arange(G, dtype=jnp.int32)
+    shift = G.bit_length() - 1
     g = None
     for k in range(s2):
-        r = rows[pos[:, k] >> 4].reshape(-1, 16, C)
-        sel = ((pos[:, k:k + 1] & 15) == i16[None, :]).astype(flat.dtype)
+        r = rows[pos[:, k] >> shift].reshape(-1, G, C)
+        sel = ((pos[:, k:k + 1] & (G - 1)) == iG[None, :]).astype(flat.dtype)
         t = jnp.einsum("ngc,ng->nc", r, sel * w[:, k:k + 1])
         g = t if g is None else g + t
     return g

@@ -240,6 +240,10 @@ def main():
     skipped = [r for r in window if r[4] > 0.5]
     iters = sum(r[2] + r[3] for r in kept)
     secs = sum(r[1] - r[4] for r in kept)
+    if not kept or secs <= 0:
+        sys.exit("[bench] steady window is empty (all windowed frames were "
+                 "compile-excluded or VTGS_BENCH_FRAMES is too small); "
+                 "no honest rate to report")
     ips = iters / secs
     # the axon tunnel injects random 5-15s stalls into host-sync'd stages
     # (ROADMAP round-3 note; they vanish on rerun with zero code change) —
@@ -263,6 +267,13 @@ def main():
         "value": round(ips, 2),
         "unit": "iters/sec",
         "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 3),
+        # measurement window provenance: a reduced VTGS_BENCH_FRAMES shrinks
+        # WARM below the point where sections 0/1 and the global term are
+        # live, so results at non-default frame counts are NOT comparable to
+        # the 40-frame baseline — the counts are carried in the JSON so
+        # nobody has to guess
+        "num_frames": NUM_FRAMES,
+        "warm_frames": WARM,
         # compile-cost telemetry (VERDICT r2 item 7): first-frame warmup,
         # total measured backend-compile seconds over the whole run, and the
         # frames excluded because XLA actually compiled during them

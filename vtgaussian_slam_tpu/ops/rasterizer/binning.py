@@ -416,12 +416,15 @@ def weighted_inverse(flat: jnp.ndarray, pos: jnp.ndarray,
     flat: (P, C) cotangent rows; pos: (N, s2) in-range positions;
     w: (N, s2) f32 weights (0 disables a column).
 
-    Fast path when C == 8 and P % 16 == 0 (always true in the engine: C is
-    the fields8 width, P = n_tiles_padded * mpt with mpt a power of two):
-    view `flat` as (P/16, 128) packed rows — one 512-byte HBM sector per
-    row instead of a 32-byte (1, 8) sliver — gather by pos >> 4, and select
-    the target 8-lane group with a one-hot (pos & 15) einsum whose 0/1
-    factors keep the sum bit-exact. Measured at the Replica room0 working
+    Fast path when C == 8 and P % G == 0 for a power-of-two pack group
+    G >= 2 (VTGS_INV_PACK, default 16; always satisfiable in the engine:
+    C is the fields8 width, P = n_tiles_padded * mpt with mpt a power of
+    two): view `flat` as (P/G, G*8) packed rows — one G*32-byte HBM sector
+    per row instead of a 32-byte (1, 8) sliver — gather by pos >> log2(G),
+    and select the target 8-lane group with a one-hot (pos & (G-1)) einsum
+    whose 0/1 factors keep the sum bit-exact. Non-power-of-two G, G < 2,
+    or P % G != 0 fall back to the plain row-gather path. Measured at the
+    Replica room0 working
     set (N = 917k, s2 = 4, P = 3.7M): 16.7 ms row gathers -> 6.7 ms packed
     gathers + ~9 ms select, and 61.6 -> 42.7 ms for the whole mapping
     backward in context (prof_layout.py / prof_map.py)."""

@@ -29,6 +29,12 @@ from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
 from vtgaussian_slam_tpu.models import gaussians as G
 from vtgaussian_slam_tpu.ops.camera import setup_camera
 
+import pytest
+
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 H = W = 32          # 2x2 tiles
 LAYERS = 20         # translucent stack depth
 GRID = 4            # gaussians per tile edge per layer

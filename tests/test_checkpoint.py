@@ -5,6 +5,12 @@ from test_e2e_synthetic import make_config
 from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
 from vtgaussian_slam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
+import pytest
+
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def test_checkpoint_roundtrip(tmp_path):
     cfg = make_config(num_frames=7, baseframe_every=5, use_gt_poses=True,

@@ -32,6 +32,10 @@ sys.path.insert(0, REPO)
 
 from vtgaussian_slam_tpu.datasets.synthetic import SyntheticRoomDataset
 
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 N_FRAMES = 5
 H, W = 48, 64
 

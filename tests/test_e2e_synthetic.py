@@ -11,6 +11,10 @@ from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
 from vtgaussian_slam_tpu.eval.evaluate import eval_sequence
 from vtgaussian_slam_tpu.eval.metrics import evaluate_ate
 
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def make_config(num_frames=11, baseframe_every=5, use_gt_poses=False,
                 track_iters=40, map_iters=40, motion_scale=0.25,

@@ -11,6 +11,10 @@ from vtgaussian_slam_tpu.parallel import (make_mesh, sharded_mapping_step,
                                           sharded_render,
                                           sharded_tracking_step)
 
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 CAM = Camera(height=64, width=64, fx=60.0, fy=60.0, cx=32.0, cy=32.0)
 
 

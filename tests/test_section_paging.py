@@ -12,6 +12,10 @@ from test_e2e_synthetic import make_config
 
 from vtgaussian_slam_tpu.core.pipeline import VTGaussianSLAM
 
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def run_engine(paging: bool, num_frames=16, bfe=2):
     cfg = make_config(num_frames=num_frames, baseframe_every=bfe,

@@ -7,6 +7,12 @@ import numpy as np
 
 from vtgaussian_slam_tpu.datasets.synthetic import SyntheticRoomDataset
 
+import pytest
+
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 def make(sensor=True, **kw):
     return SyntheticRoomDataset(num_frames=8, height=96, width=128, seed=3,

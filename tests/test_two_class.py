@@ -25,6 +25,10 @@ from vtgaussian_slam_tpu.ops.rasterizer.binning import (bin_gaussians,
 from vtgaussian_slam_tpu.ops.rasterizer.pallas_splat import BLOCK
 from vtgaussian_slam_tpu.ops.rasterizer.projection import project_gaussians
 
+# full-engine / subprocess integration tests: minutes each on the
+# 1-core CPU box. Fast safety net: pytest -m "not slow" (pytest.ini).
+pytestmark = pytest.mark.slow
+
 CAM = Camera(height=96, width=128, fx=60.0, fy=60.0, cx=64.0, cy=48.0)
 TX, TY = 8, 6
 N_TILES = TX * TY

@@ -59,6 +59,10 @@ def densify_nonpresence(
                     jax.lax.stop_gradient(cam_quat),
                     jax.lax.stop_gradient(cam_trans), cam,
                     dict(backend_kwargs))
+    return _nonpresence_from_render(r, frame, sil_thres)
+
+
+def _nonpresence_from_render(r, frame: Frame, sil_thres: float):
     gt_depth = frame.depth[0]
     render_depth = r.depth[0]
     depth_err = jnp.abs(gt_depth - render_depth) * (gt_depth > 0)
@@ -67,6 +71,37 @@ def densify_nonpresence(
     med = jnp.quantile(depth_err, 0.5, method="lower")
     return (r.silhouette < sil_thres) | (
         (render_depth > gt_depth) & (depth_err > 50 * med))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "sil_thres", "chunk"))
+def densify_nonpresence_cached(
+    cache,                    # TrackCache | TrackCache2C (this frame's)
+    cam_quat: jnp.ndarray,    # committed best pose
+    cam_trans: jnp.ndarray,
+    frame: Frame,
+    cam: Camera,
+    sil_thres: float,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """densify_nonpresence through the frame's frozen tracking binning.
+
+    The reference re-renders depth/silhouette from scratch at the tracked
+    pose (:744-747); a fresh render here costs a full projection + pair
+    sort + blend (~0.15 s/frame at the room0 working set) while the
+    tracking cache built this same frame already holds the binning —
+    rendering through it is one fused kernel call (~7 ms). Deviation: tile
+    lists/depth order are those of the tracking INIT pose, millimeters from
+    the committed pose — the identical staleness contract render_cached
+    itself runs under for 60-200 iterations (core/track_cache.py docstring;
+    high-motion ablation in ROADMAP.md), and the section is unchanged
+    between the cache build and densification."""
+    from .track_cache import TrackCache2C, render_cached, render_cached_2c
+
+    if isinstance(cache, TrackCache2C):
+        r = render_cached_2c(cache, cam_quat, cam_trans, cam, chunk, chunk)
+    else:
+        r = render_cached(cache, cam_quat, cam_trans, cam, chunk=chunk)
+    return _nonpresence_from_render(r, frame, sil_thres)
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))

@@ -417,24 +417,27 @@ def weighted_inverse(flat: jnp.ndarray, pos: jnp.ndarray,
     w: (N, s2) f32 weights (0 disables a column).
 
     Fast path when C == 8 and P % G == 0 for a power-of-two pack group
-    G >= 2 (VTGS_INV_PACK, default 16; always satisfiable in the engine:
+    G >= 2 (VTGS_INV_PACK, default 8; always satisfiable in the engine:
     C is the fields8 width, P = n_tiles_padded * mpt with mpt a power of
     two): view `flat` as (P/G, G*8) packed rows — one G*32-byte HBM sector
     per row instead of a 32-byte (1, 8) sliver — gather by pos >> log2(G),
     and select the target 8-lane group with a one-hot (pos & (G-1)) einsum
     whose 0/1 factors keep the sum bit-exact. Non-power-of-two G, G < 2,
     or P % G != 0 fall back to the plain row-gather path. Measured at the
-    Replica room0 working
-    set (N = 917k, s2 = 4, P = 3.7M): 16.7 ms row gathers -> 6.7 ms packed
-    gathers + ~9 ms select, and 61.6 -> 42.7 ms for the whole mapping
-    backward in context (prof_layout.py / prof_map.py)."""
+    Replica room0 working set (N = 917k, s2 = 4, P = 1.65M): plain row
+    gathers 16.7 ms -> packed G=8 sweet spot (round-5 sweep: G=4 41.3,
+    G=8 16.7 of which gathers ~6.6, G=16 18.9, G=32 63.6) and 61.6 ->
+    42.7 ms for the whole mapping backward in context (prof_layout.py /
+    prof_map.py / sweep notes in ROADMAP.md)."""
     P, C = flat.shape
     s2 = pos.shape[1]
     w = w.astype(flat.dtype)
-    # pack-group width: G rows of 8 per gathered sector (G*32 bytes). 16 is
-    # the measured default at the room0 working set; VTGS_INV_PACK sweeps
-    # the gather-sector-size vs select-tensor-size tradeoff on-chip.
-    G = int(os.environ.get("VTGS_INV_PACK", "16"))
+    # pack-group width: G rows of 8 per gathered sector (G*32 bytes).
+    # On-chip sweep at the room0 working set (N=917k, s2=4, P=1.65M,
+    # round 5): G=4 41.3 ms, G=8 16.7, G=16 18.9, G=32 63.6 — the 256-byte
+    # sector is the sweet spot between gather-sector size and the one-hot
+    # select tensor; VTGS_INV_PACK re-sweeps on other topologies.
+    G = int(os.environ.get("VTGS_INV_PACK", "8"))
     if C != 8 or G < 2 or (G & (G - 1)) or P % G:
         g = flat[pos[:, 0]] * w[:, 0:1]
         for k in range(1, s2):

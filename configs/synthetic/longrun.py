@@ -31,7 +31,7 @@ config = dict(
     report_iter_progress=False,
     load_checkpoint=False,
     checkpoint_time_idx=0,
-    save_checkpoints=False,
+    save_checkpoints=True,
     checkpoint_interval=500,
     use_wandb=False,
     baseframe_every=40,

@@ -73,35 +73,15 @@ def _nonpresence_from_render(r, frame: Frame, sil_thres: float):
         (render_depth > gt_depth) & (depth_err > 50 * med))
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "sil_thres", "chunk"))
-def densify_nonpresence_cached(
-    cache,                    # TrackCache | TrackCache2C (this frame's)
-    cam_quat: jnp.ndarray,    # committed best pose
-    cam_trans: jnp.ndarray,
-    frame: Frame,
-    cam: Camera,
-    sil_thres: float,
-    chunk: int = 128,
-) -> jnp.ndarray:
-    """densify_nonpresence through the frame's frozen tracking binning.
-
-    The reference re-renders depth/silhouette from scratch at the tracked
-    pose (:744-747); a fresh render here costs a full projection + pair
-    sort + blend (~0.15 s/frame at the room0 working set) while the
-    tracking cache built this same frame already holds the binning —
-    rendering through it is one fused kernel call (~7 ms). Deviation: tile
-    lists/depth order are those of the tracking INIT pose, millimeters from
-    the committed pose — the identical staleness contract render_cached
-    itself runs under for 60-200 iterations (core/track_cache.py docstring;
-    high-motion ablation in ROADMAP.md), and the section is unchanged
-    between the cache build and densification."""
-    from .track_cache import TrackCache2C, render_cached, render_cached_2c
-
-    if isinstance(cache, TrackCache2C):
-        r = render_cached_2c(cache, cam_quat, cam_trans, cam, chunk, chunk)
-    else:
-        r = render_cached(cache, cam_quat, cam_trans, cam, chunk=chunk)
-    return _nonpresence_from_render(r, frame, sil_thres)
+# NOTE: do NOT compute this mask through the tracking cache (a round-5
+# experiment did; reverted). The cache bins at the tracking INIT pose, and
+# once the init->committed pose delta reaches a few PIXELS, every tile's
+# member list is coherently shifted — a band of each tile renders
+# uncovered, the silhouette reads < sil_thres there, and densification
+# re-adds already-mapped geometry every frame (816k -> 5M gaussians in 12
+# longrun frames -> HBM OOM). Tracking tolerates the same staleness only
+# because its presence mask DROPS low-silhouette pixels; densification
+# INVERTS the sign. See core/pipeline._densify and ROADMAP round-5.
 
 
 @functools.partial(jax.jit, static_argnames=("cam",))

@@ -828,11 +828,6 @@ class VTGaussianSLAM:
                 d_hs.append(np.asarray(d_h))
             im_h = np.concatenate(im_hs)
             d_h = np.concatenate(d_hs)
-            # retain this frame's cache (last segment's binning) so
-            # densification can render non-presence through it instead of
-            # paying a fresh projection + pair sort (_densify; dropped
-            # there after use — ~50 MB device memory until then)
-            self._frame_track_cache = (self._cur_frame_idx, cache, mpt)
             # closed-loop pair budget: dispatch the MEASURED pixel-diff
             # probe (map_cache.trunc_probe — renders at mpt and 4x mpt at
             # the best pose) asynchronously; _update_pair_budget reads the
@@ -1216,26 +1211,29 @@ class VTGaussianSLAM:
         bf_idx = t // self.bfe
         sec = self._sec(bf_idx)
         quat, trans = _traj_read(self.traj.quats, self.traj.trans, t)
-        cached = getattr(self, "_frame_track_cache", None)
-        if (cached is not None and cached[0] == t
-                and self.config["tpu"].get("densify_cached_render", True)):
-            from ..ops.rasterizer.pallas_splat import pick_walk_chunk
-            from .densify import densify_nonpresence_cached
-            _, cache, _ = cached
-            mpts = ([cache.slots_d.shape[-1], cache.slots_s.shape[-1]]
-                    if hasattr(cache, "slots_d") else [cache.slots8.shape[-1]])
-            npres = densify_nonpresence_cached(
-                cache, quat, trans, frame, self.cam,
-                self.config["mapping"]["sil_thres"],
-                chunk=pick_walk_chunk(*mpts))
-            self._frame_track_cache = None   # release the ~50 MB slots
-        else:
-            npres = densify_nonpresence(
-                sec.params, sec.active_mask(), quat, trans, frame, self.cam,
-                self.config["mapping"]["sil_thres"], self.backend_kwargs)
+        # NOTE a round-5 experiment rendered this mask through the frame's
+        # tracking cache (densify.densify_nonpresence_cached, one fused
+        # kernel instead of a fresh projection+sort, ~0.1 s/frame) — and it
+        # is UNSOUND at real innovation scale: the cache bins at the INIT
+        # pose, and at 680x1200 a few PIXELS of init->committed pose delta
+        # shift every tile's member list coherently, un-covering a band of
+        # each tile. The silhouette then reads < 0.5 on the whole band
+        # (42% of pixels at longrun frame 1), densification re-adds seen
+        # geometry every frame, and N runs away (816k -> 5M in 12 frames,
+        # HBM OOM; ROADMAP round-5 post-mortem). Tracking tolerates the
+        # same staleness because its presence MASK just drops those pixels;
+        # densification is sign-sensitive. Keep the fresh full-res render
+        # the reference also pays (:744-747).
+        npres = densify_nonpresence(
+            sec.params, sec.active_mask(), quat, trans, frame, self.cam,
+            self.config["mapping"]["sil_thres"], self.backend_kwargs)
         t0 = time.time()
         np_np = np.asarray(npres)
         self.stats["t_densify_fetch"] += time.time() - t0
+        if os.environ.get("VTGS_DENSIFY_TRACE"):
+            d0_ = depth_np[..., 0]
+            print(f"[densify] t={t} np={np_np.mean():.3f} "
+                  f"np&valid={(np_np & (d0_ > 0)).mean():.3f}", flush=True)
 
         t0 = time.time()
         # base stream: non-presence & valid depth, compacted on host

@@ -30,13 +30,30 @@ from ..ops import geometry as geo
 
 
 class P2PTarget(NamedTuple):
-    pts_world: jnp.ndarray      # (H*W, 3)
-    normals_world: jnp.ndarray  # (H*W, 3)
-    valid: jnp.ndarray          # (H*W,) bool
+    # (H*W, 8) rows [pt_world(3), normal_world(3), valid, pad]: ONE fused
+    # row per target pixel, so the per-iteration projective association
+    # costs a single 32-byte-row gather instead of three separate gathers
+    # over (pts, normals, valid) tables — the metric runs INSIDE the fused
+    # tracking loop every iteration at section boundaries, and TPU gathers
+    # are row-count-bound (round-5 profile: the split form cost the
+    # boundary loop ~2x the steady per-iteration time).
+    packed: jnp.ndarray
     w2c: jnp.ndarray            # (4, 4)
     intrinsics: jnp.ndarray     # (3, 3)
     height: int
     width: int
+
+    @property
+    def pts_world(self) -> jnp.ndarray:
+        return self.packed[:, 0:3]
+
+    @property
+    def normals_world(self) -> jnp.ndarray:
+        return self.packed[:, 3:6]
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.packed[:, 6] > 0
 
 
 def make_p2p_target(depth: jnp.ndarray, intrinsics: jnp.ndarray,
@@ -48,10 +65,11 @@ def make_p2p_target(depth: jnp.ndarray, intrinsics: jnp.ndarray,
     pts = geo.backproject(d, intrinsics, c2w=c2w, depth_factor=1.0)
     normals_cam = geo.depth_to_normals(d, intrinsics).reshape(-1, 3)
     normals_world = normals_cam @ c2w[:3, :3].T
+    valid = (d > 0).reshape(-1, 1).astype(pts.dtype)
+    packed = jnp.concatenate(
+        [pts, normals_world, valid, jnp.zeros_like(valid)], axis=1)
     return P2PTarget(
-        pts_world=pts,
-        normals_world=normals_world,
-        valid=(d > 0).reshape(-1),
+        packed=packed,
         w2c=w2c,
         intrinsics=intrinsics,
         height=H,
@@ -73,11 +91,9 @@ def point2plane_metric(
     src_pts = geo.backproject(d, src_intrinsics, c2w=src_c2w, depth_factor=1.0)
     src_valid = (d > 0).reshape(-1)
 
-    # frustum culls, both directions (reference frustum=True path)
+    # frustum cull, source -> target (reference frustum=True path)
     src_in_tgt = geo.frustum_mask(target.w2c, target.intrinsics, src_pts,
                                   target.height, target.width, edge=0.0)
-    tgt_in_src = geo.frustum_mask(src_w2c, src_intrinsics, target.pts_world, H, W,
-                                  edge=0.0)
 
     # projective association: source point -> nearest pixel in target image.
     # backproject() puts pixel (px, py)'s ray at (px + 0.5 - cx)/fx, so a
@@ -91,9 +107,16 @@ def point2plane_metric(
     inb = (px >= 0) & (px < target.width) & (py >= 0) & (py < target.height)
     pix = jnp.clip(py, 0, target.height - 1) * target.width + jnp.clip(
         px, 0, target.width - 1)
-    tgt_pt = target.pts_world[pix]
-    tgt_n = target.normals_world[pix]
-    tgt_ok = target.valid[pix] & tgt_in_src[pix]
+    # one fused 32-byte-row gather for [pt, normal, valid] (P2PTarget.packed)
+    rows = target.packed[pix]
+    tgt_pt = rows[:, 0:3]
+    tgt_n = rows[:, 3:6]
+    # target -> source frustum cull evaluated on the GATHERED points: the
+    # gathered row IS target.pts_world[pix], so this equals the reference
+    # order (cull the full target set, then gather the flag) bit-for-bit
+    # while skipping both the full-set projection and the extra gather
+    tgt_ok = (rows[:, 6] > 0) & geo.frustum_mask(
+        src_w2c, src_intrinsics, tgt_pt, H, W, edge=0.0)
 
     dp = src_pts - tgt_pt
     pair = (
